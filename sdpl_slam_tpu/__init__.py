@@ -1,0 +1,25 @@
+"""SDPL-SLAM-TPU: a TPU-native dynamic point-line RGB-D SLAM framework.
+
+A from-scratch JAX/XLA/Pallas rebuild with the capabilities of SDPL-SLAM
+(semantic dynamic point-line SLAM): per-frame camera pose estimation, SE(3)
+rigid-motion estimation of every moving object, and a map of 3D points and
+3D (Pluecker) lines -- all expressed as batched, statically-shaped tensor
+programs that XLA can tile onto the MXU/VPU, instead of the reference's
+scalar per-feature C++ loops.
+
+Layout
+------
+- ``ops``       : geometry / Lie-group math, feature kernels (FAST, lines),
+                  flow gathers, RANSAC -- the device compute vocabulary.
+- ``solvers``   : batched Levenberg-Marquardt per-frame solvers (joint
+                  flow+pose, joint flow+object-motion) and the batch
+                  bundle-adjustment back-end (windowed + full sequence).
+- ``models``    : the SLAM pipeline state machines (Frame, Map, Tracking,
+                  System facade) mirroring the reference public API.
+- ``parallel``  : jax.sharding Mesh utilities and the ICI-sharded global BA.
+- ``io``        : dataset loaders (KITTI/OMD formats), output writers,
+                  host->device prefetch.
+- ``utils``     : config (yaml, same keys as the reference), timing, metrics.
+"""
+
+__version__ = "0.1.0"

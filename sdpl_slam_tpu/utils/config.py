@@ -1,0 +1,177 @@
+"""Settings parsing: same yaml keys as the reference, hard-codes promoted.
+
+The reference reads an OpenCV ``FileStorage`` yaml in the Tracking ctor
+(/root/reference/src/Tracking.cc:49-177).  We parse the identical files
+(e.g. /root/reference/example/kitti.yaml) with pyyaml after stripping the
+OpenCV ``%YAML:1.0`` directive, and expose every key with the same default.
+
+Parameters the reference hard-codes are promoted to config fields with
+identical defaults (SURVEY.md section 5 "Config / flag system"):
+line-extractor settings (Tracking.cc:113-118), static/object line caps
+(Tracking.cc:3971, 4562), PnP RANSAC parameters (Tracking.cc:2776-2779),
+the joint-optimizer reprojection threshold rp_thres=0.04
+(Optimizer.cc:6443), flow-prior information weights, batch-BA sigmas
+(Optimizer.cc:4013-4018), tracklet min length 3 (Optimizer.cc:3938), and
+bJoint=true / StopFrame (Tracking.cc:184-185).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+import yaml
+
+# Dataset codes, matching yaml key ``ChooseData`` (Tracking.cc:130-145).
+OMD = 1
+KITTI = 2
+VIRTUAL_KITTI = 3
+
+# Sensor types (System.h): MONOCULAR=0, STEREO=1, RGBD=2.
+MONOCULAR = 0
+STEREO = 1
+RGBD = 2
+
+
+@dataclasses.dataclass
+class Settings:
+    # --- Camera (yaml Camera.*) ---
+    fx: float = 0.0
+    fy: float = 0.0
+    cx: float = 0.0
+    cy: float = 0.0
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    width: int = 0
+    height: int = 0
+    fps: float = 30.0
+    bf: float = 0.0
+    rgb: int = 1
+
+    # --- System parameters ---
+    choose_data: int = KITTI          # ChooseData
+    depth_map_factor: float = 1.0     # DepthMapFactor
+    th_depth_bg: float = 40.0         # ThDepthBG
+    th_depth_obj: float = 25.0        # ThDepthOBJ
+    max_track_point_bg: int = 1200    # MaxTrackPointBG
+    max_track_point_obj: int = 800    # MaxTrackPointOBJ
+    sf_mg_thres: float = 0.12         # SFMgThres
+    sf_ds_thres: float = 0.3          # SFDsThres
+    window_size: int = 20             # WINDOW_SIZE
+    overlap_size: int = 4             # OVERLAP_SIZE
+    use_sample_fea: int = 0           # UseSampleFeature
+
+    # --- ORB extractor (yaml ORBextractor.*) ---
+    orb_n_features: int = 2500
+    orb_scale_factor: float = 1.2
+    orb_n_levels: int = 8
+    orb_ini_th_fast: int = 20
+    orb_min_th_fast: int = 7
+
+    # --- Line extractor (hard-coded in reference, Tracking.cc:113-118) ---
+    lsd_nfeatures: int = 0
+    lsd_refine: int = 2               # LSD_REFINE_ADV
+    lsd_scale: float = 0.8
+    line_levels: int = 2
+    line_scale: float = 2.0
+    line_extractor: int = 0           # 0 = LSD, 1 = EDLines
+
+    # --- Tracking hard-codes promoted to config ---
+    max_static_lines: int = 400       # Tracking.cc:3971
+    max_object_lines: int = 100       # Tracking.cc:4562
+    pnp_iterations: int = 500         # Tracking.cc:2776
+    pnp_reproj_error: float = 0.4     # Tracking.cc:2777
+    pnp_confidence: float = 0.98      # Tracking.cc:2778
+    use_joint_optimization: bool = True  # bJoint, Tracking.cc:184
+    stop_frame: Optional[int] = None  # StopFrame, Tracking.cc:185 (None = nImages-1)
+    use_lines: bool = True            # #define USE_LINE inside Track()
+    min_object_points: int = 150      # Tracking.cc:2581
+    min_pnp_inliers_obj: int = 50     # Tracking.cc:1387
+    boundary_shrink_x: int = 25       # KITTI boundary rejection, Tracking.cc:2476
+    boundary_shrink_y: int = 50
+
+    # --- Per-frame joint optimizer (Optimizer.cc:6409-6841, 7603-8020) ---
+    rp_thres: float = 0.04            # chi2 gate / Huber delta^2 for points
+    flow_prior_info_cam: float = 0.3  # EdgeFlowPrior info, camera solver
+    flow_prior_info_obj: float = 0.5  # EdgeFlowPrior info, object solver (:7722)
+    line_edge_info: float = 0.1       # flow-line edge info (:6566)
+    lm_iterations: int = 100          # optimize(100)
+
+    # --- Batch BA (Optimizer.cc:3995-4062) ---
+    ba_sigma_camera: float = 0.001
+    ba_sigma_3d_static: float = 80.0
+    ba_sigma_smooth: float = 0.001
+    ba_sigma_motion: float = 100.0
+    ba_sigma_3d_dynamic: float = 80.0
+    ba_huber_delta: float = 1e-4
+    ba_tracklet_min_len: int = 3      # Optimizer.cc:3938
+    ba_local_iterations: int = 100    # partial optimize(100), Optimizer.cc:2462
+    ba_global_iterations: int = 300   # full optimize(300), Optimizer.cc:5337
+    ba_gain_threshold: float = 1e-4   # termination, Optimizer.cc:4004
+
+    # --- Solver capacity (static shapes; fixed caps are the reference's own) ---
+    max_objects: int = 16             # max simultaneously tracked objects
+
+    @property
+    def sensor_depth_scaled(self) -> bool:
+        return abs(self.depth_map_factor) >= 1e-5
+
+
+_KEYMAP = {
+    "Camera.fx": "fx", "Camera.fy": "fy", "Camera.cx": "cx", "Camera.cy": "cy",
+    "Camera.k1": "k1", "Camera.k2": "k2", "Camera.p1": "p1", "Camera.p2": "p2",
+    "Camera.k3": "k3", "Camera.width": "width", "Camera.height": "height",
+    "Camera.fps": "fps", "Camera.bf": "bf", "Camera.RGB": "rgb",
+    "ChooseData": "choose_data",
+    "DepthMapFactor": "depth_map_factor",
+    "ThDepthBG": "th_depth_bg",
+    "ThDepthOBJ": "th_depth_obj",
+    "MaxTrackPointBG": "max_track_point_bg",
+    "MaxTrackPointOBJ": "max_track_point_obj",
+    "SFMgThres": "sf_mg_thres",
+    "SFDsThres": "sf_ds_thres",
+    "WINDOW_SIZE": "window_size",
+    "OVERLAP_SIZE": "overlap_size",
+    "UseSampleFeature": "use_sample_fea",
+    "ORBextractor.nFeatures": "orb_n_features",
+    "ORBextractor.scaleFactor": "orb_scale_factor",
+    "ORBextractor.nLevels": "orb_n_levels",
+    "ORBextractor.iniThFAST": "orb_ini_th_fast",
+    "ORBextractor.minThFAST": "orb_min_th_fast",
+    # Promoted hard-codes are accepted under their natural names too.
+    "StopFrame": "stop_frame",
+    "MaxObjects": "max_objects",
+}
+
+
+def load_settings(path: str | Path) -> Settings:
+    """Parse an OpenCV-FileStorage-style yaml settings file."""
+    text = Path(path).read_text()
+    lines = [l for l in text.splitlines() if not l.lstrip().startswith("%")]
+    data = yaml.safe_load("\n".join(lines)) or {}
+
+    s = Settings()
+    fields = {f.name: f for f in dataclasses.fields(Settings)}
+    for key, value in data.items():
+        name = _KEYMAP.get(key)
+        if name is None:
+            # allow snake_case overrides for promoted hard-codes
+            name = key if key in fields else None
+        if name is None:
+            continue
+        f = fields[name]
+        if f.type in ("int", "Optional[int]") and value is not None:
+            value = int(value)
+        elif f.type == "float" and value is not None:
+            value = float(value)
+        elif f.type == "bool" and value is not None:
+            value = bool(value)
+        setattr(s, name, value)
+
+    if s.fps == 0:
+        s.fps = 30.0  # Tracking.cc:83-85
+    return s
