@@ -1,0 +1,154 @@
+"""Sequence loaders for the reference's on-disk dataset layout.
+
+Replicates /root/reference/example/sdpl_slam.cc:164-466 (``LoadData`` /
+``LoadMask``):
+
+    <seq>/times.txt                  one timestamp per line
+    <seq>/image_0/%06d.png           RGB (or gray) images
+    <seq>/depth/%06d.png             16-bit depth/disparity PNGs -> float32
+    <seq>/semantic/%06d.txt          whitespace-separated integer label matrix
+    <seq>/flow/%06d.flo              Middlebury .flo dense optical flow
+    <seq>/pose_gt.txt                frame_id + 16 floats (row-major 4x4)
+    <seq>/object_pose.txt            10 floats per row (frame_id obj_id
+                                     B1 B2 B3 B4 t1 t2 t3 r1) -- KITTI format
+                                     consumed by ObjPoseParsingKT
+                                     (/root/reference/src/Tracking.cc:3134)
+
+The readers return numpy arrays; staging to device happens in prefetch.py.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+_FLO_MAGIC = 202021.25  # Middlebury sanity-check value ("PIEH" as float)
+
+
+def read_flo(path: str | Path) -> np.ndarray:
+    """Read a Middlebury .flo file -> (H, W, 2) float32 (u, v)."""
+    with open(path, "rb") as f:
+        magic = np.fromfile(f, np.float32, count=1)
+        if magic.size == 0 or magic[0] != _FLO_MAGIC:
+            raise ValueError(f"{path}: not a .flo file (magic {magic})")
+        w = int(np.fromfile(f, np.int32, count=1)[0])
+        h = int(np.fromfile(f, np.int32, count=1)[0])
+        data = np.fromfile(f, np.float32, count=2 * w * h)
+    return data.reshape(h, w, 2)
+
+
+def write_flo(path: str | Path, flow: np.ndarray) -> None:
+    """Write (H, W, 2) float32 flow as .flo (for fixtures/tests)."""
+    h, w, c = flow.shape
+    assert c == 2
+    with open(path, "wb") as f:
+        np.asarray([_FLO_MAGIC], np.float32).tofile(f)
+        np.asarray([w, h], np.int32).tofile(f)
+        flow.astype(np.float32).tofile(f)
+
+
+def read_mask_txt(path: str | Path) -> np.ndarray:
+    """Read a whitespace-separated integer label matrix -> (H, W) int32.
+
+    Matches ``LoadMask`` (/root/reference/example/sdpl_slam.cc:269-466),
+    minus the visualization.
+    """
+    return np.loadtxt(path, dtype=np.int32)
+
+
+def read_image_gray(path: str | Path) -> np.ndarray:
+    """Load an image as uint8 grayscale (reference converts RGB->gray,
+    /root/reference/src/Tracking.cc:224-237)."""
+    import cv2
+
+    im = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+    if im is None:
+        raise FileNotFoundError(path)
+    if im.ndim == 3:
+        im = cv2.cvtColor(im, cv2.COLOR_BGR2GRAY)
+    return im
+
+
+def read_depth_png(path: str | Path) -> np.ndarray:
+    """Load a depth/disparity PNG as float32 (reference: imread UNCHANGED
+    then convertTo CV_32F, /root/reference/example/sdpl_slam.cc:110-113)."""
+    import cv2
+
+    im = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+    if im is None:
+        raise FileNotFoundError(path)
+    return im.astype(np.float32)
+
+
+@dataclass
+class Sequence:
+    """Lazy handle to a sequence directory (reference dataset layout)."""
+
+    root: Path
+    timestamps: np.ndarray            # (T,)
+    poses_gt: np.ndarray              # (T, 4, 4) float32
+    obj_poses_gt: List[List[np.ndarray]]  # per frame: list of 10-float rows
+
+    @property
+    def n_frames(self) -> int:
+        """Number of processable frames: nImages = len-1 (the last frame has
+        no forward flow; example/sdpl_slam.cc:62)."""
+        return max(len(self.timestamps) - 1, 0)
+
+    def rgb_path(self, i: int) -> Path:
+        return self.root / "image_0" / f"{i:06d}.png"
+
+    def frame(self, i: int):
+        """Load raw inputs for frame i: (gray, depth_f32, flow, mask)."""
+        gray = read_image_gray(self.rgb_path(i))
+        depth = read_depth_png(self.root / "depth" / f"{i:06d}.png")
+        flow = read_flo(self.root / "flow" / f"{i:06d}.flo")
+        mask = read_mask_txt(self.root / "semantic" / f"{i:06d}.txt")
+        return gray, depth, flow, mask
+
+    def gt_pose(self, i: int) -> np.ndarray:
+        if i < len(self.poses_gt):
+            return self.poses_gt[i]
+        return np.eye(4, dtype=np.float32)
+
+    def gt_obj_poses(self, i: int) -> List[np.ndarray]:
+        if i < len(self.obj_poses_gt):
+            return self.obj_poses_gt[i]
+        return []
+
+
+def load_sequence(path: str | Path) -> Sequence:
+    """Parse the sequence-level metadata files (images load lazily)."""
+    root = Path(path)
+    timestamps = np.loadtxt(root / "times.txt", dtype=np.float64, ndmin=1)
+
+    poses = []
+    pose_file = root / "pose_gt.txt"
+    if pose_file.exists():
+        raw = np.loadtxt(pose_file, dtype=np.float64, ndmin=2)
+        for row in raw:
+            # frame_id + 16 floats row-major (example/sdpl_slam.cc:211-240)
+            poses.append(row[1:17].reshape(4, 4).astype(np.float32))
+    poses_gt = (
+        np.stack(poses)
+        if poses
+        else np.broadcast_to(
+            np.eye(4, dtype=np.float32), (len(timestamps), 4, 4)
+        ).copy()
+    )
+
+    obj_poses: List[List[np.ndarray]] = [[] for _ in range(len(timestamps))]
+    obj_file = root / "object_pose.txt"
+    if obj_file.exists():
+        raw = np.loadtxt(obj_file, dtype=np.float64, ndmin=2)
+        if raw.size:
+            for row in raw:
+                f_id = int(row[0])
+                if f_id < len(obj_poses):
+                    # rows kept as the 10-float format ObjPoseParsingKT expects
+                    obj_poses[f_id].append(row[:10].astype(np.float32))
+    return Sequence(root, timestamps, poses_gt, obj_poses)

@@ -250,7 +250,8 @@ def infinite_line_image(p: jnp.ndarray, q: jnp.ndarray,
     ph = jnp.concatenate([p, ones], axis=-1)
     qh = jnp.concatenate([q, ones], axis=-1)
     l = jnp.cross(ph, qh)
-    norm = jnp.maximum(jnp.linalg.norm(l, axis=-1, keepdims=True), eps)
+    # eps inside the sqrt: gradient stays finite for degenerate p == q
+    norm = jnp.sqrt(jnp.sum(l * l, axis=-1, keepdims=True) + eps)
     return l / norm
 
 
