@@ -1,0 +1,78 @@
+"""System facade: the reference's public API surface
+(/root/reference/include/System.h:41-52, src/System.cc:22-64).
+
+``System(settings_file, sensor).track_rgbd(...)`` + ``save_results(dir)``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from ..io import writers
+from ..utils import metrics
+from ..utils.config import RGBD, Settings, load_settings
+from .tracking import Tracking
+
+BANNER = (
+    " ----------------------------------------------------------------------------\n"
+    "| SDPL-SLAM-TPU: a TPU-native dynamic point-line SLAM framework.             |\n"
+    "| Re-designed from scratch in JAX/XLA with the capabilities of SDPL-SLAM.    |\n"
+    " ----------------------------------------------------------------------------"
+)
+
+
+class System:
+    def __init__(self, settings: str | Path | Settings, sensor: int = RGBD,
+                 verbose: bool = True):
+        if verbose:
+            print(BANNER)
+        if isinstance(settings, (str, Path)):
+            settings = load_settings(settings)
+        self.settings = settings
+        self.sensor = sensor
+        if sensor != RGBD:
+            raise ValueError("only the RGBD sensor mode is implemented "
+                             "(reference guards identically, System.cc:55)")
+        self.tracker = Tracking(settings)
+
+    @property
+    def map(self):
+        return self.tracker.map
+
+    def track_rgbd(
+        self,
+        im: np.ndarray,
+        depthmap: np.ndarray,
+        flowmap: np.ndarray,
+        masksem: np.ndarray,
+        gt_pose: np.ndarray,
+        obj_poses_gt: List[np.ndarray],
+        timestamp: float,
+        n_images: int,
+        line_detections: Optional[np.ndarray] = None,
+        point_detections: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Track one RGB-D frame; returns estimated T_cw.  Mirrors
+        ``System::TrackRGBD`` (System.cc:51-64); the trajectory canvas of
+        the reference API is dropped (visualization is offline here)."""
+        if im.ndim == 3:
+            im = im.mean(axis=2).astype(np.uint8)
+        return self.tracker.grab_rgbd(
+            im, depthmap, flowmap, masksem, gt_pose, obj_poses_gt,
+            timestamp, n_images,
+            line_detections=line_detections,
+            point_detections=point_detections,
+        )
+
+    def save_results(self, out_dir: str | Path) -> None:
+        """Write the 7 result txt files + timing summary
+        (System::SaveResults, System.cc:66-244)."""
+        print("Saving Results into TXT File...")
+        writers.save_results(out_dir, self.map)
+        print(writers.format_timing_summary(self.map))
+
+    def metric_error(self, refined: bool = False) -> str:
+        return metrics.metric_error_report(self.map, refined=refined)

@@ -1,0 +1,1264 @@
+"""Tracking: the per-frame dynamic-SLAM pipeline.
+
+TPU re-design of the reference ``Tracking`` (/root/reference/src/Tracking.cc,
+5541 LoC of scalar loops) as a sequence of jitted, fixed-shape device stages
+with thin host glue for label bookkeeping:
+
+  GrabImageRGBD (Tracking.cc:179)  ->  Tracking.grab_rgbd
+    depth preprocess (:195-219)        preprocess_depth (jit)
+    UpdateMask (:4730)                 update_mask (stage 2)
+    Frame(...) feature extraction      build-candidates + select_* (jit)
+    inherit from last frame (:269-473) _inherit_* (jit)
+  Track (:1028)
+    camera: init model (:2738) + joint flow+pose solve (Optimizer.cc:6409)
+    objects: scene flow (:1989), DynObjTracking (:2077), per-object joint
+             flow+motion solves (Optimizer.cc:7603) vmapped over objects
+    RenewFrameInfo (:3959)
+    Map appends (:1605-1786), metric logging, BA triggers
+
+Fixed capacities (static shapes) come from the reference's own caps:
+1200 static points (MaxTrackPointBG), 400 static lines, 800 object points
+per object (MaxTrackPointOBJ), 100 object lines per object.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry, lie, ransac
+from ..ops.geometry import Intrinsics
+from ..solvers import frame_solvers as fs
+from ..utils.config import KITTI, OMD, Settings
+from . import frame as fr
+from .map_state import MapState
+
+_HI = jax.lax.Precision.HIGHEST
+_EYE4 = np.eye(4, dtype=np.float32)
+
+
+def obj_pose_parsing_kt(row: np.ndarray) -> np.ndarray:
+    """KITTI object-pose row -> 4x4 pose in CAMERA coordinates
+    (``ObjPoseParsingKT``, /root/reference/src/Tracking.cc:3134-3241):
+    row = [frame, track_id, B1..B4, t1, t2, t3, yaw]; pose is a rotation
+    about the camera-frame y axis by (yaw - pi/2)... the reference composes
+    R_y(yaw) in the ground-plane convention with t lifted by height/2."""
+    t = row[6:9].astype(np.float64)
+    yaw = float(row[9])
+    # Tracking.cc:3206-3235: y-axis rotation matrix from yaw
+    # (KITTI rotation_y), translation is the bottom-center -> used directly.
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = np.array(
+        [[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]], np.float32
+    )
+    pose[:3, 3] = t.astype(np.float32)
+    return pose
+
+
+def obj_pose_parsing_ox(row: np.ndarray) -> np.ndarray:
+    """OMD object-pose row -> 4x4 pose in WORLD coordinates
+    (``ObjPoseParsingOX``, Tracking.cc:3243-3323): row carries translation
+    + quaternion... reference converts axis-angle/rotation directly.  The
+    10-float row is [frame, id, t(3), R as axis-angle or quat(4)]."""
+    pose = np.eye(4, dtype=np.float32)
+    t = row[2:5].astype(np.float32)
+    q = row[5:9].astype(np.float64)  # qx qy qz qw
+    n = np.linalg.norm(q)
+    if n > 1e-8:
+        x, y, z, w = q / n
+        pose[:3, :3] = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ], np.float32)
+    pose[:3, 3] = t
+    return pose
+
+
+class Tracking:
+    """Host orchestrator holding per-sequence state, driving jitted stages."""
+
+    def __init__(self, settings: Settings):
+        self.cfg = settings
+        self.K = Intrinsics(
+            jnp.float32(settings.fx), jnp.float32(settings.fy),
+            jnp.float32(settings.cx), jnp.float32(settings.cy),
+        )
+        # capacities
+        self.NS = int(settings.max_track_point_bg)       # static points
+        self.NLS = int(settings.max_static_lines)        # static lines
+        self.P_OBJ = int(settings.max_track_point_obj)   # points per object
+        self.L_OBJ = int(settings.max_object_lines)      # lines per object
+        self.MAXO = int(settings.max_objects)
+        self.NO = self.MAXO * self.P_OBJ                 # total object points
+        self.NLO = self.MAXO * self.L_OBJ
+        self.N_CAND = 3000                               # static candidates
+        self.NL_CAND = max(2 * self.NLS, 64)             # line candidates
+
+        self.f_id = 0
+        self.max_id = 1                                  # object id counter
+        self.velocity: Optional[np.ndarray] = None       # mVelocity
+        self.origin_inv: Optional[np.ndarray] = None     # mOriginInv
+        self.last: Optional[dict] = None                 # last frame dict
+        self.last_meta: dict = {"sem_position": [], "mod_label": [],
+                                "obj_stat": [], "obj_motion": {}}
+        self.map = MapState()
+        self.mask_np: Optional[np.ndarray] = None        # current (possibly
+                                                         # recovered) mask
+
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    # jitted stages
+    # ------------------------------------------------------------------
+    def _build_jits(self):
+        cfg = self.cfg
+        K = self.K
+
+        @jax.jit
+        def prep(depth_raw, flow, mask, stat_cand_uv, stat_cand_valid,
+                 line_cand_uv4, line_cand_valid):
+            depth = fr.preprocess_depth(
+                depth_raw, cfg.choose_data, cfg.depth_map_factor, cfg.bf
+            )
+            s_uv, s_d, s_f, s_c, s_v = fr.select_static_points(
+                stat_cand_uv, stat_cand_valid, depth, flow, mask,
+                cfg.th_depth_bg, self.NS,
+            )
+            l_uv, l_d, l_f, l_c, l_v = fr.select_static_lines(
+                line_cand_uv4, line_cand_valid, depth, flow, mask,
+                cfg.th_depth_bg, self.NLS,
+            )
+            o_uv, o_d, o_f, o_c, o_s, o_v = fr.select_object_points(
+                depth, flow, mask, cfg.th_depth_obj, self.NO,
+            )
+            ol_uv, ol_d, ol_f, ol_c, ol_s, ol_v = fr.select_object_lines(
+                line_cand_uv4, line_cand_valid, depth, flow, mask,
+                cfg.th_depth_obj, self.NLO,
+            )
+            return (depth, (s_uv, s_d, s_f, s_c, s_v),
+                    (l_uv, l_d, l_f, l_c, l_v),
+                    (o_uv, o_d, o_f, o_c, o_s, o_v),
+                    (ol_uv, ol_d, ol_f, ol_c, ol_s, ol_v))
+
+        self._prep = prep
+
+        @jax.jit
+        def inherit(last_stat_corres, last_stat_valid,
+                    last_line_corres, last_line_valid,
+                    last_obj_corres, last_obj_valid,
+                    last_oline_corres, last_oline_valid,
+                    depth, mask):
+            """Tracking.cc:269-473: current features = last correspondences,
+            with re-looked-up depths/semantic labels."""
+            s_uv = last_stat_corres
+            s_d, s_inb = fr.lookup_nearest(depth, s_uv)
+            s_d = jnp.where(s_inb & (s_d > 0), s_d, -1.0)
+
+            l_uv = last_line_corres
+            ld_s, li_s = fr.lookup_nearest(depth, l_uv[:, :2])
+            ld_e, li_e = fr.lookup_nearest(depth, l_uv[:, 2:])
+            l_ok = li_s & li_e & (ld_s > 0) & (ld_e > 0)
+            l_d = jnp.where(
+                l_ok[:, None], jnp.stack([ld_s, ld_e], -1), -1.0
+            )
+
+            o_uv = last_obj_corres
+            o_d, o_inb = fr.lookup_nearest(depth, o_uv)
+            o_m, _ = fr.lookup_nearest(mask, o_uv)
+            o_ok = o_inb & (o_d < cfg.th_depth_obj) & (o_d > 0)
+            o_d = jnp.where(o_ok, o_d, 0.1)            # Tracking.cc:345-350
+            o_sem = jnp.where(o_ok, o_m, 0).astype(jnp.int32)
+
+            ol_uv = last_oline_corres
+            old_s, oli_s = fr.lookup_nearest(depth, ol_uv[:, :2])
+            old_e, oli_e = fr.lookup_nearest(depth, ol_uv[:, 2:])
+            olm, _ = fr.lookup_nearest(mask, ol_uv[:, :2])
+            ol_ok = (
+                oli_s & oli_e
+                & (old_s > 0) & (old_s < cfg.th_depth_obj)
+                & (old_e > 0) & (old_e < cfg.th_depth_obj)
+            )
+            ol_d = jnp.where(
+                ol_ok[:, None],
+                jnp.stack([old_s, old_e], -1),
+                0.1,
+            )
+            ol_sem = jnp.where(ol_ok, olm, 0).astype(jnp.int32)
+            return (s_uv, s_d, last_stat_valid,
+                    l_uv, l_d, last_line_valid,
+                    o_uv, o_d, o_sem, last_obj_valid,
+                    ol_uv, ol_d, ol_sem, last_oline_valid)
+
+        self._inherit = inherit
+
+        @jax.jit
+        def line_track_filter(line_uv, line_valid, depth, mask):
+            """Track() line validity (Tracking.cc:1056-1099): midpoint depth
+            discontinuity and nonzero mask at endpoints drop the line."""
+            s_uv, e_uv = line_uv[:, :2], line_uv[:, 2:]
+            ds, _ = fr.lookup_nearest(depth, s_uv)
+            de, _ = fr.lookup_nearest(depth, e_uv)
+            dm, _ = fr.lookup_nearest(depth, 0.5 * (s_uv + e_uv))
+            ms, _ = fr.lookup_nearest(mask, s_uv)
+            me, _ = fr.lookup_nearest(mask, e_uv)
+            length = jnp.linalg.norm(e_uv - s_uv, axis=-1)
+            ok = (
+                (jnp.abs(dm - 0.5 * (ds + de)) <= 10.0 * length / 1000.0)
+                & (ms == 0) & (me == 0)
+            )
+            return line_valid & ok
+
+        self._line_track_filter = line_track_filter
+
+        def cam_solve(T_init, T_wl, pts, lns):
+            return fs.solve_flow_pose(
+                T_init, T_wl, pts, lns, K,
+                rp_thres=cfg.rp_thres,
+                flow_prior_info=cfg.flow_prior_info_cam,
+                line_prior_info=cfg.flow_prior_info_cam,
+                max_iterations=cfg.lm_iterations,
+                use_lines=cfg.use_lines,
+            )
+
+        self._cam_solve = jax.jit(cam_solve)
+
+        def obj_solve_one(T_init, T_wl, pts, lns):
+            return fs.solve_flow_pose(
+                T_init, T_wl, pts, lns, K,
+                rp_thres=cfg.rp_thres,
+                flow_prior_info=cfg.flow_prior_info_obj,
+                line_prior_info=cfg.flow_prior_info_obj,
+                max_iterations=cfg.lm_iterations,
+                use_lines=cfg.use_lines,
+            )
+
+        self._obj_solve = jax.jit(
+            jax.vmap(obj_solve_one, in_axes=(0, None, 0, 0))
+        )
+
+        def _model_inliers(model, X_w, cur_uv, valid):
+            proj = geometry.project(K, lie.transform_point(model, X_w))
+            rpe = jnp.linalg.norm(cur_uv - proj, axis=-1)
+            front = lie.transform_point(model, X_w)[:, 2] > 0
+            return valid & front & (rpe < cfg.pnp_reproj_error)
+
+        @jax.jit
+        def init_model_cam(key, velocity, T_lw, last_uv, last_depth,
+                           cur_uv, cur_depth, valid):
+            """GetInitModelCam (Tracking.cc:2738-2838): RANSAC init vs the
+            const-velocity model; whichever has more inliers wins, and its
+            inlier set becomes TemperalMatch_subset."""
+            X_w = fr.world_points(K, T_lw, last_uv, last_depth)
+            X_c = geometry.backproject(K, cur_uv, cur_depth)
+            rs = ransac.ransac_rigid_init(
+                X_w, cur_uv, X_c, valid & (cur_depth > 0), K, key,
+                n_hypotheses=256, reproj_thresh=cfg.pnp_reproj_error,
+            )
+            model = velocity @ T_lw
+            mm_inl = _model_inliers(model, X_w, cur_uv, valid)
+            mm_n = jnp.sum(mm_inl.astype(jnp.int32))
+            use_ransac = rs.n_inliers > mm_n
+            T_init = jnp.where(use_ransac, rs.pose, model)
+            subset = jnp.where(use_ransac, rs.inliers, mm_inl)
+            return T_init, subset
+
+        self._init_cam = init_model_cam
+
+        def init_model_obj_one(key, model, T_lw, last_uv, last_depth,
+                               cur_uv, cur_depth, valid):
+            """GetInitModelObj (Tracking.cc:2841-2972): same recipe on one
+            object's points; ``model`` is the propagated last motion."""
+            X_w = fr.world_points(K, T_lw, last_uv, last_depth)
+            X_c = geometry.backproject(K, cur_uv, cur_depth)
+            rs = ransac.ransac_rigid_init(
+                X_w, cur_uv, X_c, valid & (cur_depth > 0), K, key,
+                n_hypotheses=128, reproj_thresh=cfg.pnp_reproj_error,
+            )
+            mm_inl = _model_inliers(model, X_w, cur_uv, valid)
+            mm_n = jnp.sum(mm_inl.astype(jnp.int32))
+            use_ransac = rs.n_inliers > mm_n
+            T_init = jnp.where(use_ransac, rs.pose, model)
+            subset = jnp.where(use_ransac, rs.inliers, mm_inl)
+            return T_init, subset, jnp.maximum(rs.n_inliers, mm_n)
+
+        self._init_obj = jax.jit(jax.vmap(
+            init_model_obj_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0)
+        ))
+
+        @jax.jit
+        def scene_flow(last_pose, cur_pose, last_uv, last_depth,
+                       cur_uv, cur_depth, last_sem, cur_sem, valid):
+            """GetSceneFlowObj (Tracking.cc:1989-2075): world-frame 3D flow
+            per object point; invalid when either semantic label <= 0."""
+            Xp = fr.world_points(K, last_pose, last_uv, last_depth)
+            Xc = fr.world_points(K, cur_pose, cur_uv, cur_depth)
+            flow3d = Xc - Xp
+            sem_ok = (last_sem > 0) & (cur_sem > 0)
+            return flow3d, Xp, valid & sem_ok
+
+        self._scene_flow = scene_flow
+
+        @jax.jit
+        def world_pts(T_cw, uv, depth):
+            return fr.world_points(K, T_cw, uv, depth)
+
+        self._world_pts = world_pts
+
+        @jax.jit
+        def world_lns(T_cw, uv4, d2):
+            return fr.world_lines(K, T_cw, uv4, d2)
+
+        self._world_lns = world_lns
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def grab_rgbd(
+        self,
+        gray: np.ndarray,
+        depth_raw: np.ndarray,
+        flow: np.ndarray,
+        mask: np.ndarray,
+        gt_pose: np.ndarray,
+        obj_poses_gt: List[np.ndarray],
+        timestamp: float,
+        n_images: int,
+        line_detections: Optional[np.ndarray] = None,
+        point_detections: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Process one frame; returns the estimated camera pose T_cw.
+
+        ``line_detections``: optional (L, 4) array of detected segments (the
+        LSD stage output; injectable for testing, SURVEY.md 7.2 item 7).
+        ``point_detections``: optional (P, 2) detected corners (FAST).
+        """
+        cfg = self.cfg
+        h, w = gray.shape
+        timing = np.zeros(5, np.float32)
+        import time as _time
+
+        # --- stop frame semantics (Tracking.cc:184) ---
+        stop_frame = (
+            cfg.stop_frame if cfg.stop_frame is not None else n_images - 1
+        )
+
+        # --- GT pose handling (Tracking.cc:477-489) ---
+        if self.f_id == 0 or self.origin_inv is None:
+            self.origin_inv = np.asarray(gt_pose, np.float32)
+            pose_gt = np.linalg.inv(self.origin_inv).astype(np.float32)
+        else:
+            pose_gt = (
+                np.linalg.inv(np.asarray(gt_pose, np.float32))
+                @ self.origin_inv
+            ).astype(np.float32)
+
+        # --- candidates ---
+        t0 = _time.perf_counter()
+        if point_detections is not None and cfg.use_sample_fea == 0:
+            cand = np.zeros((self.N_CAND, 2), np.float32)
+            n = min(len(point_detections), self.N_CAND)
+            cand[:n] = point_detections[:n]
+            cand_valid = np.arange(self.N_CAND) < n
+        else:
+            cand = np.asarray(fr.grid_sample_uv(h, w, n_points=self.N_CAND))
+            cand_valid = np.ones(self.N_CAND, bool)
+        lcand = np.zeros((self.NL_CAND, 4), np.float32)
+        lcand_valid = np.zeros(self.NL_CAND, bool)
+        if line_detections is not None and len(line_detections):
+            n = min(len(line_detections), self.NL_CAND)
+            lcand[:n] = line_detections[:n]
+            lcand_valid[:n] = True
+
+        # --- mask recovery (stage 2: UpdateMask; identity for now) ---
+        self.mask_np = np.asarray(mask, np.int32)
+
+        depth, stat_tmp, line_tmp, obj_tmp, oline_tmp = self._prep(
+            jnp.asarray(depth_raw, jnp.float32),
+            jnp.asarray(flow, jnp.float32),
+            jnp.asarray(self.mask_np),
+            jnp.asarray(cand), jnp.asarray(cand_valid),
+            jnp.asarray(lcand), jnp.asarray(lcand_valid),
+        )
+        timing[0] = (_time.perf_counter() - t0) * 1e3
+
+        gt_objs = [np.asarray(r, np.float32) for r in obj_poses_gt]
+        if self.f_id == 0 or self.last is None:
+            self._initialize(depth, flow, stat_tmp, line_tmp, obj_tmp,
+                             oline_tmp, pose_gt, gt_objs)
+            pose = np.asarray(self.last["pose"])
+        else:
+            pose = self._track(
+                depth, flow, stat_tmp, line_tmp, obj_tmp, oline_tmp,
+                pose_gt, gt_objs, timing, stop_frame,
+            )
+        self.f_id += 1
+        return pose
+
+    # ------------------------------------------------------------------
+    def _initialize(self, depth, flow, stat_tmp, line_tmp, obj_tmp,
+                    oline_tmp, pose_gt, gt_objs):
+        """First frame (Tracking.cc:1888-1984): identity pose, stash features
+        + 3D, push frame-0 map entries."""
+        s_uv, s_d, s_f, s_c, s_v = stat_tmp
+        l_uv, l_d, l_f, l_c, l_v = line_tmp
+        o_uv, o_d, o_f, o_c, o_s, o_v = obj_tmp
+        ol_uv, ol_d, ol_f, ol_c, ol_s, ol_v = oline_tmp
+
+        pose = jnp.eye(4, dtype=jnp.float32)
+        stat_3d = self._world_pts(pose, s_uv, s_d)
+        line_3d = self._world_lns(pose, l_uv, l_d)
+        obj_3d = self._world_pts(pose, o_uv, o_d)
+        oline_3d = self._world_lns(pose, ol_uv, ol_d)
+
+        self.last = dict(
+            pose=_EYE4.copy(), pose_gt=pose_gt,
+            stat_uv=np.asarray(s_uv), stat_depth=np.asarray(s_d),
+            stat_flow=np.asarray(s_f), stat_corres=np.asarray(s_c),
+            stat_valid=np.asarray(s_v), stat_3d=np.asarray(stat_3d),
+            line_uv=np.asarray(l_uv), line_depth=np.asarray(l_d),
+            line_flow=np.asarray(l_f), line_corres=np.asarray(l_c),
+            line_valid=np.asarray(l_v), line_3d=np.asarray(line_3d),
+            obj_uv=np.asarray(o_uv), obj_depth=np.asarray(o_d),
+            obj_flow=np.asarray(o_f), obj_corres=np.asarray(o_c),
+            obj_sem=np.asarray(o_s), obj_valid=np.asarray(o_v),
+            obj_3d=np.asarray(obj_3d),
+            obj_label=np.full(self.NO, -2, np.int32),
+            oline_uv=np.asarray(ol_uv), oline_depth=np.asarray(ol_d),
+            oline_flow=np.asarray(ol_f), oline_corres=np.asarray(ol_c),
+            oline_sem=np.asarray(ol_s), oline_valid=np.asarray(ol_v),
+            oline_3d=np.asarray(oline_3d),
+            oline_label=np.full(self.NLO, -2, np.int32),
+            gt_objs=gt_objs,
+        )
+        self.last_meta = {"sem_position": [], "mod_label": [],
+                          "obj_stat": [], "obj_motion": {}}
+
+        # frame-0 map entries (Initialization, Tracking.cc:1921-1954):
+        # features + identity camera poses (GT identity: origin-aligned)
+        m = self.map
+        st = self.last
+        m.stat_uv.append(st["stat_uv"]); m.stat_depth.append(st["stat_depth"])
+        m.stat_3d.append(st["stat_3d"]); m.stat_valid.append(st["stat_valid"])
+        m.stat_asso.append(np.full(self.NS, -1, np.int32))
+        m.line_uv.append(st["line_uv"]); m.line_depth.append(st["line_depth"])
+        m.line_3d.append(st["line_3d"]); m.line_valid.append(st["line_valid"])
+        m.line_asso.append(np.full(self.NLS, -1, np.int32))
+        plk = np.asarray(geometry.plucker_from_endpoints(
+            jnp.asarray(st["line_3d"][:, :3]), jnp.asarray(st["line_3d"][:, 3:])
+        ))
+        m.line_plucker.append(plk)
+        m.dyn_uv.append(st["obj_uv"]); m.dyn_depth.append(st["obj_depth"])
+        m.dyn_3d.append(st["obj_3d"]); m.dyn_valid.append(st["obj_valid"])
+        m.dyn_asso.append(np.full(self.NO, -1, np.int32))
+        m.dyn_label.append(st["obj_label"])
+        m.dline_uv.append(st["oline_uv"]); m.dline_depth.append(st["oline_depth"])
+        m.dline_3d.append(st["oline_3d"]); m.dline_valid.append(st["oline_valid"])
+        m.dline_asso.append(np.full(self.NLO, -1, np.int32))
+        m.dline_label.append(st["oline_label"])
+        dplk = np.asarray(geometry.plucker_from_endpoints(
+            jnp.asarray(st["oline_3d"][:, :3]), jnp.asarray(st["oline_3d"][:, 3:])
+        ))
+        m.dline_plucker.append(dplk)
+        m.camera_poses.append(_EYE4.copy())
+        m.camera_poses_rf.append(_EYE4.copy())
+        m.camera_poses_gt.append(_EYE4.copy())
+
+    # ------------------------------------------------------------------
+    def _track(self, depth, flow, stat_tmp, line_tmp, obj_tmp, oline_tmp,
+               pose_gt, gt_objs, timing, stop_frame):
+        import time as _time
+
+        cfg = self.cfg
+        last = self.last
+        mask_j = jnp.asarray(self.mask_np)
+
+        # ---- inherit from last frame ----
+        (s_uv, s_d, s_v, l_uv, l_d, l_v, o_uv, o_d, o_sem, o_v,
+         ol_uv, ol_d, ol_sem, ol_v) = self._inherit(
+            jnp.asarray(last["stat_corres"]), jnp.asarray(last["stat_valid"]),
+            jnp.asarray(last["line_corres"]), jnp.asarray(last["line_valid"]),
+            jnp.asarray(last["obj_corres"]), jnp.asarray(last["obj_valid"]),
+            jnp.asarray(last["oline_corres"]), jnp.asarray(last["oline_valid"]),
+            depth, mask_j,
+        )
+
+        # ================= CAMERA =================
+        t0 = _time.perf_counter()
+        T_lw = jnp.asarray(last["pose"])          # last T_cw
+        T_wl = lie.se3_inv(T_lw)
+        last_s_valid = (
+            jnp.asarray(last["stat_valid"])
+            & (jnp.asarray(last["stat_depth"]) > 0)
+            & s_v & (s_d > 0)
+        )
+        velocity = jnp.asarray(
+            self.velocity if self.velocity is not None else _EYE4
+        )
+        key = jax.random.PRNGKey(self.f_id)
+        T_init, subset = self._init_cam(
+            key, velocity, T_lw,
+            jnp.asarray(last["stat_uv"]), jnp.asarray(last["stat_depth"]),
+            s_uv, s_d, last_s_valid,
+        )
+
+        line_ok = self._line_track_filter(l_uv, l_v, depth, mask_j)
+        pts = fs.PointBundle(
+            obs=jnp.asarray(last["stat_uv"]),
+            flow0=jnp.asarray(last["stat_flow"]),
+            depth=jnp.asarray(last["stat_depth"]),
+            valid=subset,
+        )
+        lns = fs.LineBundle(
+            obs=jnp.asarray(last["line_uv"]),
+            flow0=jnp.asarray(last["line_flow"]),
+            depth=jnp.asarray(last["line_depth"]),
+            valid=jnp.asarray(last["line_valid"])
+            & (jnp.asarray(last["line_depth"]).min(axis=-1) > 0) & line_ok,
+        )
+        res = self._cam_solve(T_init, T_wl, pts, lns)
+        pose = res.pose
+        # update tracked positions from optimized flow (Optimizer.cc:6796)
+        s_uv = jnp.where(
+            res.point_inlier[:, None],
+            jnp.asarray(last["stat_uv"]) + res.flow,
+            s_uv,
+        )
+        l_uv = jnp.where(
+            res.line_inlier[:, None],
+            jnp.asarray(last["line_uv"]) + res.line_flow,
+            l_uv,
+        )
+        stat_track_ok = np.asarray(res.point_inlier)
+        line_track_ok = np.asarray(res.line_inlier)
+        timing[1] = (_time.perf_counter() - t0) * 1e3
+
+        # velocity (Tracking.cc:1177-1183)
+        pose_np = np.asarray(pose)
+        self.velocity = (pose_np @ np.linalg.inv(last["pose"])).astype(
+            np.float32
+        )
+
+        # ================= OBJECTS =================
+        t0 = _time.perf_counter()
+        flow3d, Xp_world, sf_valid = self._scene_flow(
+            T_lw, pose,
+            jnp.asarray(last["obj_uv"]), jnp.asarray(last["obj_depth"]),
+            o_uv, o_d,
+            jnp.asarray(last["obj_sem"]), o_sem,
+            jnp.asarray(last["obj_valid"]) & o_v,
+        )
+        obj_label = self._dyn_obj_tracking(
+            np.asarray(o_uv), np.asarray(o_sem), np.asarray(sf_valid),
+            np.asarray(flow3d), np.asarray(o_d),
+            np.asarray(ol_uv), np.asarray(ol_sem), np.asarray(ol_v),
+        )
+        timing[2] = (_time.perf_counter() - t0) * 1e3
+
+        # ---- per-object motion ----
+        t0 = _time.perf_counter()
+        (obj_results, obj_meta) = self._object_motions(
+            obj_label, o_uv, o_d, o_sem, ol_uv, ol_d, ol_sem,
+            pose, T_wl, last, gt_objs, pose_gt,
+        )
+        timing[3] = (_time.perf_counter() - t0) * 1e3
+
+        # update object point positions from optimized flows and collect
+        # inlier masks
+        obj_track_ok = np.zeros(self.NO, bool)
+        oline_track_ok = np.zeros(self.NLO, bool)
+        o_uv_np = np.array(o_uv)     # writable copies
+        ol_uv_np = np.array(ol_uv)
+        for om in obj_meta:
+            if not om["stat"]:
+                continue
+            idx = om["pt_idx"]
+            fl = om["flow"][: len(idx)]
+            inl = om["pt_inlier"][: len(idx)]
+            o_uv_np[idx[inl]] = (
+                last["obj_uv"][idx[inl]] + fl[inl]
+            )
+            obj_track_ok[idx[inl]] = True
+            lidx = om["ln_idx"]
+            if len(lidx):
+                lfl = om["ln_flow"][: len(lidx)]
+                linl = om["ln_inlier"][: len(lidx)]
+                ol_uv_np[lidx[linl]] = last["oline_uv"][lidx[linl]] + lfl[linl]
+                oline_track_ok[lidx[linl]] = True
+
+        # ================= RENEW =================
+        t0 = _time.perf_counter()
+        new_state = self._renew_frame_info(
+            pose_np, depth, flow, stat_tmp, line_tmp, obj_tmp, oline_tmp,
+            np.asarray(s_uv), np.asarray(s_d), stat_track_ok,
+            np.asarray(l_uv), np.asarray(l_d), line_track_ok,
+            o_uv_np, np.asarray(o_d), np.asarray(o_sem), obj_label,
+            obj_track_ok,
+            ol_uv_np, np.asarray(ol_d), np.asarray(ol_sem),
+            np.asarray(ol_v), oline_track_ok,
+            pose_gt, gt_objs,
+        )
+        timing[4] = (_time.perf_counter() - t0) * 1e3
+
+        # ================= MAP =================
+        self._push_map(new_state, pose_np, pose_gt, obj_meta, timing)
+        self.last = new_state
+        return pose_np
+
+    # ------------------------------------------------------------------
+    def _dyn_obj_tracking(self, o_uv, o_sem, sf_valid, flow3d, o_depth,
+                          ol_uv, ol_sem, ol_valid) -> np.ndarray:
+        """DynObjTracking (Tracking.cc:2077-2736) on host numpy (tiny
+        arrays).  Returns per-point tracking labels (vObjLabel)."""
+        cfg = self.cfg
+        h, w = self.mask_np.shape
+        label = np.full(self.NO, -1, np.int32)
+        oline_label = np.full(self.NLO, -1, np.int32)
+
+        cand = sf_valid & (o_sem > 0)
+        uniq = np.unique(o_sem[cand])
+        uniq = uniq[uniq > 0]
+
+        shr_c, shr_r = cfg.boundary_shrink_x, cfg.boundary_shrink_y
+        if cfg.choose_data != KITTI:
+            shr_c, shr_r = 0, 0
+
+        last_sem = self.last["obj_sem"]
+        kept = []
+        for lab in uniq:
+            pidx = np.nonzero(cand & (o_sem == lab))[0]
+            lidx = np.nonzero(ol_valid & (ol_sem == lab))[0]
+            if len(pidx) == 0:
+                continue
+            # boundary rejection (Tracking.cc:2460-2500)
+            u, v = o_uv[pidx, 0], o_uv[pidx, 1]
+            near = (
+                (v < shr_r) | (v > h - shr_r) | (u < shr_c) | (u > w - shr_c)
+            ).sum()
+            if len(lidx):
+                lu = ol_uv[lidx]
+                near += (
+                    (lu[:, 1] < shr_r) | (lu[:, 1] > h - shr_r)
+                    | (lu[:, 0] < shr_c) | (lu[:, 0] > w - shr_c)
+                    | (lu[:, 3] < shr_r) | (lu[:, 3] > h - shr_r)
+                    | (lu[:, 2] < shr_c) | (lu[:, 2] > w - shr_c)
+                ).sum()
+            if near / max(len(pidx) + len(lidx), 1) > 0.5:
+                continue
+            # static test on x-z scene flow (Tracking.cc:2528-2560)
+            sf_norm = np.sqrt(
+                flow3d[pidx, 0] ** 2 + flow3d[pidx, 2] ** 2
+            )
+            if (sf_norm < cfg.sf_mg_thres).mean() > cfg.sf_ds_thres:
+                label[pidx] = 0
+                oline_label[lidx] = 0
+                continue
+            # far / small rejection (Tracking.cc:2575-2590)
+            if (
+                o_depth[pidx].mean() > cfg.th_depth_obj
+                or len(pidx) < cfg.min_object_points
+            ):
+                continue
+            kept.append((lab, pidx, lidx))
+
+        # association by last-frame majority semantic label
+        # (Tracking.cc:2631-2699)
+        for lab, pidx, lidx in kept:
+            lb_last = last_sem[pidx]
+            if len(lidx):
+                lb_last = np.concatenate(
+                    [lb_last, self.last["oline_sem"][lidx]]
+                )
+            vals, counts = np.unique(lb_last, return_counts=True)
+            new_lab = int(vals[np.argmax(counts)])
+            assigned = None
+            if self.max_id > 1:
+                for k, sem_pos in enumerate(self.last_meta["sem_position"]):
+                    if (
+                        sem_pos == new_lab
+                        and self.last_meta["obj_stat"][k]
+                    ):
+                        assigned = self.last_meta["mod_label"][k]
+                        break
+            if assigned is None:
+                assigned = self.max_id
+                self.max_id += 1
+            label[pidx] = assigned
+            oline_label[lidx] = assigned
+
+        self._oline_label = oline_label
+        return label
+
+    # ------------------------------------------------------------------
+    def _object_motions(self, obj_label, o_uv, o_d, o_sem, ol_uv, ol_d,
+                        ol_sem, pose, T_wl, last, gt_objs, pose_gt):
+        """Per-object joint flow+motion solves, batched over a fixed
+        max-objects axis (masked vmap; Tracking.cc:1277-1528)."""
+        cfg = self.cfg
+        labels = [
+            int(l) for l in np.unique(obj_label) if l > 0
+        ][: self.MAXO]
+        n_obj = len(labels)
+        obj_meta = []
+        if n_obj == 0:
+            return None, obj_meta
+
+        oline_label = self._oline_label
+        P, L = self.P_OBJ, self.L_OBJ
+        pt_obs = np.zeros((self.MAXO, P, 2), np.float32)
+        pt_flow0 = np.zeros((self.MAXO, P, 2), np.float32)
+        pt_depth = np.ones((self.MAXO, P), np.float32)
+        pt_cur_uv = np.zeros((self.MAXO, P, 2), np.float32)
+        pt_cur_d = np.zeros((self.MAXO, P), np.float32)
+        pt_valid = np.zeros((self.MAXO, P), bool)
+        ln_obs = np.zeros((self.MAXO, L, 4), np.float32)
+        ln_flow0 = np.zeros((self.MAXO, L, 4), np.float32)
+        ln_depth = np.ones((self.MAXO, L, 2), np.float32)
+        ln_valid = np.zeros((self.MAXO, L), bool)
+        T_inits = np.tile(_EYE4, (self.MAXO, 1, 1))
+
+        pose_np = np.asarray(pose)
+        o_uv_np = np.asarray(o_uv)
+        metas = []
+        for k, lab in enumerate(labels):
+            pidx = np.nonzero(obj_label == lab)[0][:P]
+            lidx = np.nonzero(oline_label == lab)[0][:L]
+            n, m = len(pidx), len(lidx)
+            # the edge unprojects LAST-frame pixels at last depths
+            pt_obs[k, :n] = last["obj_uv"][pidx]
+            pt_depth[k, :n] = last["obj_depth"][pidx]
+            pt_flow0[k, :n] = o_uv_np[pidx] - last["obj_uv"][pidx]
+            pt_cur_uv[k, :n] = o_uv_np[pidx]
+            pt_cur_d[k, :n] = np.asarray(o_d)[pidx]
+            ok = last["obj_depth"][pidx] > 0
+            pt_valid[k, :n] = ok
+            if m:
+                ln_obs[k, :m] = last["oline_uv"][lidx]
+                ln_depth[k, :m] = last["oline_depth"][lidx]
+                ln_flow0[k, :m] = np.asarray(ol_uv)[lidx] - last["oline_uv"][lidx]
+                ln_valid[k, :m] = last["oline_depth"][lidx].min(axis=1) > 0
+            # init: propagated last motion of this object (GetInitModelObj
+            # motion-model branch, Tracking.cc:2841-2972): G = Tcw_cur *
+            # H_last * inv(Tcw_last)... the solver variable G maps world 3D
+            # (from last frame) into the current camera: G = Tcw_cur @ H.
+            H_last = self.last_meta["obj_motion"].get(lab)
+            if H_last is not None:
+                T_inits[k] = pose_np @ H_last
+            else:
+                T_inits[k] = pose_np
+            metas.append((lab, pidx, lidx))
+
+        # GetInitModelObj: RANSAC vs propagated-motion model per object
+        keys = jax.random.split(
+            jax.random.PRNGKey(1000 + self.f_id), self.MAXO
+        )
+        T_inits_j, init_inl, init_n = self._init_obj(
+            keys, jnp.asarray(T_inits), T_wl,
+            jnp.asarray(pt_obs), jnp.asarray(pt_depth),
+            jnp.asarray(pt_cur_uv), jnp.asarray(pt_cur_d),
+            jnp.asarray(pt_valid),
+        )
+        init_inl_np = np.asarray(init_inl)
+        init_n_np = np.asarray(init_n)
+        pt_valid = pt_valid & init_inl_np
+
+        results = self._obj_solve(
+            T_inits_j,
+            T_wl,
+            fs.PointBundle(
+                obs=jnp.asarray(pt_obs), flow0=jnp.asarray(pt_flow0),
+                depth=jnp.asarray(pt_depth), valid=jnp.asarray(pt_valid),
+            ),
+            fs.LineBundle(
+                obs=jnp.asarray(ln_obs), flow0=jnp.asarray(ln_flow0),
+                depth=jnp.asarray(ln_depth), valid=jnp.asarray(ln_valid),
+            ),
+        )
+        poses_G = np.asarray(results.pose)
+        pt_inl = np.asarray(results.point_inlier)
+        ln_inl = np.asarray(results.line_inlier)
+        flows = np.asarray(results.flow)
+        ln_flows = np.asarray(results.line_flow)
+
+        inv_pose = np.linalg.inv(pose_np)
+        curr_twc_gt = np.linalg.inv(pose_gt)
+        last_twc_gt = np.linalg.inv(self.last["pose_gt"])
+
+        for k, (lab, pidx, lidx) in enumerate(metas):
+            n, m = len(pidx), len(lidx)
+            # ground truth motion for this object's semantic label
+            sem_lab = int(np.bincount(
+                np.maximum(o_sem if False else np.asarray(o_sem)[pidx], 0)
+            ).argmax()) if n else 0
+            L_w_p = self._gt_obj_pose(self.last.get("gt_objs", []), sem_lab,
+                                      last_twc_gt)
+            L_w_c = self._gt_obj_pose(gt_objs, sem_lab, curr_twc_gt)
+            stat = True
+            H_gt_body = _EYE4.copy()
+            pose_pre = _EYE4.copy()
+            if L_w_p is None or L_w_c is None:
+                stat = False           # Tracking.cc:1317-1334
+            else:
+                H_gt_body = (np.linalg.inv(L_w_p) @ L_w_c).astype(np.float32)
+                pose_pre = L_w_p
+            if int(init_n_np[k]) < cfg.min_pnp_inliers_obj:
+                stat = False           # init failure, Tracking.cc:1387-1399
+            H = (inv_pose @ poses_G[k]).astype(np.float32)
+            if not stat:
+                H = _EYE4.copy()
+            centre = (
+                np.asarray(
+                    self._world_pts(
+                        jnp.asarray(last["pose"]),
+                        jnp.asarray(last["obj_uv"][pidx]),
+                        jnp.asarray(last["obj_depth"][pidx]),
+                    )
+                ).mean(axis=0)
+                if n
+                else np.zeros(3, np.float32)
+            )
+            obj_meta.append(dict(
+                label=lab, sem=sem_lab, stat=stat, H=H,
+                H_gt_body=H_gt_body, pose_pre=pose_pre, centre=centre,
+                pt_idx=pidx, ln_idx=lidx,
+                pt_inlier=pt_inl[k], ln_inlier=ln_inl[k],
+                flow=flows[k], ln_flow=ln_flows[k],
+            ))
+        return results, obj_meta
+
+    def _gt_obj_pose(self, gt_rows, sem_label, twc_gt):
+        """Find the GT pose row matching a semantic label; KITTI rows are in
+        camera coords and lifted to world by Twc_gt (Tracking.cc:1289-1311)."""
+        for row in gt_rows:
+            if int(row[1]) == sem_label:
+                if self.cfg.choose_data == OMD:
+                    return obj_pose_parsing_ox(row)
+                L = obj_pose_parsing_kt(row)
+                return (twc_gt @ L).astype(np.float32)
+        return None
+
+    # ------------------------------------------------------------------
+    def _renew_frame_info(self, pose_np, depth, flow, stat_tmp, line_tmp,
+                          obj_tmp, oline_tmp,
+                          s_uv, s_d, stat_ok, l_uv, l_d, line_ok,
+                          o_uv, o_d, o_sem, obj_label, obj_ok,
+                          ol_uv, ol_d, ol_sem, ol_valid, oline_ok,
+                          pose_gt, gt_objs):
+        """RenewFrameInfo (Tracking.cc:3959-4730): keep inliers, top-up from
+        this frame's detections with dedup, recompute depth/3D, rebuild
+        association ids."""
+        cfg = self.cfg
+        depth_np = np.asarray(depth)
+        flow_np = np.asarray(flow)
+        mask_np = self.mask_np
+        h, w = mask_np.shape
+
+        def filt_point(uv):
+            x = uv[:, 0].astype(np.int32)
+            y = uv[:, 1].astype(np.int32)
+            inb = (x > 0) & (x < w - 1) & (y > 0) & (y < h - 1)
+            xc, yc = np.clip(x, 0, w - 1), np.clip(y, 0, h - 1)
+            m = mask_np[yc, xc]
+            d = depth_np[yc, xc]
+            f = flow_np[yc, xc]
+            corr = uv + f
+            ok = (
+                inb & (m == 0) & (d > 0) & (d <= 40.0)
+                & (f[:, 0] != 0) & (f[:, 1] != 0)
+                & (corr[:, 0] < w) & (corr[:, 0] > 0)
+                & (corr[:, 1] < h) & (corr[:, 1] > 0)
+            )
+            return ok, d, f, corr
+
+        # ---- static points: keep inliers ----
+        keep_ok, kd, kf, kc = filt_point(s_uv)
+        keep = stat_ok & keep_ok
+        kept_idx = np.nonzero(keep)[0][: self.NS]
+
+        new_uv = np.zeros((self.NS, 2), np.float32)
+        new_d = np.zeros(self.NS, np.float32)
+        new_f = np.zeros((self.NS, 2), np.float32)
+        new_c = np.zeros((self.NS, 2), np.float32)
+        new_asso = np.full(self.NS, -1, np.int32)
+        nk = len(kept_idx)
+        new_uv[:nk] = s_uv[kept_idx]
+        new_d[:nk] = kd[kept_idx]
+        new_f[:nk] = kf[kept_idx]
+        new_c[:nk] = kc[kept_idx]
+        new_asso[:nk] = kept_idx
+
+        # ---- top-up from detections (strided order + 1px dedup against the
+        # kept set, Tracking.cc:4091-4140) ----
+        cs_uv, cs_d, cs_f, cs_c, cs_v = [np.asarray(a) for a in stat_tmp]
+        if nk < self.NS:
+            cand_ok, cd, cf, cc = filt_point(cs_uv)
+            cand_ok &= cs_v
+            if nk:
+                d2 = (
+                    (cs_uv[:, None, 0] - new_uv[None, :nk, 0]) ** 2
+                    + (cs_uv[:, None, 1] - new_uv[None, :nk, 1]) ** 2
+                )
+                cand_ok &= d2.min(axis=1) >= 1.0
+            order = self._strided_order(len(cs_uv), 10)
+            pick = order[cand_ok[order]][: self.NS - nk]
+            np_new = len(pick)
+            new_uv[nk:nk + np_new] = cs_uv[pick]
+            new_d[nk:nk + np_new] = cd[pick]
+            new_f[nk:nk + np_new] = cf[pick]
+            new_c[nk:nk + np_new] = cc[pick]
+            nk += np_new
+        stat_valid = np.arange(self.NS) < nk
+
+        # ---- static lines: keep + top-up (Tracking.cc:4002-4261) ----
+        new_l = np.zeros((self.NLS, 4), np.float32)
+        new_ld = np.zeros((self.NLS, 2), np.float32)
+        new_lf = np.zeros((self.NLS, 4), np.float32)
+        new_lc = np.zeros((self.NLS, 4), np.float32)
+        new_lasso = np.full(self.NLS, -1, np.int32)
+
+        def filt_line(uv4):
+            xs = uv4[:, 0].astype(np.int32); ys = uv4[:, 1].astype(np.int32)
+            xe = uv4[:, 2].astype(np.int32); ye = uv4[:, 3].astype(np.int32)
+            inb = (
+                (xs > 0) & (xs < w - 1) & (ys > 0) & (ys < h - 1)
+                & (xe > 0) & (xe < w - 1) & (ye > 0) & (ye < h - 1)
+            )
+            xsc, ysc = np.clip(xs, 0, w - 1), np.clip(ys, 0, h - 1)
+            xec, yec = np.clip(xe, 0, w - 1), np.clip(ye, 0, h - 1)
+            ms = mask_np[ysc, xsc]; me = mask_np[yec, xec]
+            ds = depth_np[ysc, xsc]; de = depth_np[yec, xec]
+            xm = ((xs + xe) // 2).clip(0, w - 1)
+            ym = ((ys + ye) // 2).clip(0, h - 1)
+            dm = depth_np[ym, xm]
+            ln = np.sqrt((xs - xe) ** 2 + (ys - ye) ** 2).astype(np.float32)
+            disc = np.abs(dm - 0.5 * (ds + de)) <= 10.0 * ln / 1000.0
+            fs_ = flow_np[ysc, xsc]; fe_ = flow_np[yec, xec]
+            f4 = np.concatenate([fs_, fe_], axis=1)
+            corr = uv4 + f4
+            degen = (np.abs(uv4[:, 0] - uv4[:, 2]) < 1e-6) & (
+                np.abs(uv4[:, 1] - uv4[:, 3]) < 1e-6
+            )
+            ok = (
+                inb & ~degen & (ms == 0) & (me == 0)
+                & (ds > 0) & (ds <= 40.0) & (de > 0) & (de <= 40.0)
+                & disc
+                & (corr[:, 0] > 0) & (corr[:, 0] < w)
+                & (corr[:, 1] > 0) & (corr[:, 1] < h)
+                & (corr[:, 2] > 0) & (corr[:, 2] < w)
+                & (corr[:, 3] > 0) & (corr[:, 3] < h)
+            )
+            d2 = np.stack([ds, de], axis=1)
+            return ok, d2, f4, corr
+
+        lk_ok, lkd, lkf, lkc = filt_line(l_uv)
+        lkeep = line_ok & lk_ok
+        lkept = np.nonzero(lkeep)[0][: self.NLS]
+        nlk = len(lkept)
+        new_l[:nlk] = l_uv[lkept]
+        new_ld[:nlk] = lkd[lkept]
+        new_lf[:nlk] = lkf[lkept]
+        new_lc[:nlk] = lkc[lkept]
+        new_lasso[:nlk] = lkept
+
+        cl_uv, cl_d, cl_f, cl_c, cl_v = [np.asarray(a) for a in line_tmp]
+        if nlk < self.NLS and cl_v.any():
+            cok, cld, clf, clc = filt_line(cl_uv)
+            cok &= cl_v
+            if nlk:
+                cok &= ~self._line_dup(cl_uv, new_l[:nlk])
+            pick = np.nonzero(cok)[0][: self.NLS - nlk]
+            nn = len(pick)
+            new_l[nlk:nlk + nn] = cl_uv[pick]
+            new_ld[nlk:nlk + nn] = cld[pick]
+            new_lf[nlk:nlk + nn] = clf[pick]
+            new_lc[nlk:nlk + nn] = clc[pick]
+            nlk += nn
+        line_valid = np.arange(self.NLS) < nlk
+
+        # ---- objects: keep inliers per object, top-up to cap per object,
+        # add new-label candidates (Tracking.cc:4381-4692) ----
+        co_uv, co_d, co_f, co_c, co_s, co_v = [np.asarray(a) for a in obj_tmp]
+        no_uv = np.zeros((self.NO, 2), np.float32)
+        no_d = np.zeros(self.NO, np.float32)
+        no_f = np.zeros((self.NO, 2), np.float32)
+        no_c = np.zeros((self.NO, 2), np.float32)
+        no_sem = np.zeros(self.NO, np.int32)
+        no_label = np.full(self.NO, -2, np.int32)
+        no_asso = np.full(self.NO, -1, np.int32)
+        cursor = 0
+
+        def obj_filt(uv):
+            x = uv[:, 0].astype(np.int32); y = uv[:, 1].astype(np.int32)
+            inb = (x > 0) & (x < w - 1) & (y > 0) & (y < h - 1)
+            xc, yc = np.clip(x, 0, w - 1), np.clip(y, 0, h - 1)
+            m = mask_np[yc, xc]
+            d = depth_np[yc, xc]
+            f = flow_np[yc, xc]
+            corr = uv + f
+            ok = (
+                inb & (m != 0) & (d > 0) & (d < cfg.th_depth_obj)
+                & (corr[:, 0] < w) & (corr[:, 0] > 0)
+                & (corr[:, 1] < h) & (corr[:, 1] > 0)
+            )
+            return ok, m, d, f, corr
+
+        ok_o, m_o, d_o, f_o, c_o = obj_filt(o_uv)
+        tracked_labels = [int(x) for x in np.unique(obj_label) if x > 0]
+        live_sems = set()
+        for lab in tracked_labels:
+            idx = np.nonzero((obj_label == lab) & obj_ok & ok_o)[0]
+            sem_now = (
+                int(np.bincount(m_o[idx]).argmax()) if len(idx) else 0
+            )
+            live_sems.add(sem_now)
+            take = idx[: self.P_OBJ]
+            n = len(take)
+            if cursor + n > self.NO:
+                n = self.NO - cursor
+                take = take[:n]
+            no_uv[cursor:cursor + n] = o_uv[take]
+            no_d[cursor:cursor + n] = d_o[take]
+            no_f[cursor:cursor + n] = f_o[take]
+            no_c[cursor:cursor + n] = c_o[take]
+            no_sem[cursor:cursor + n] = m_o[take]
+            no_label[cursor:cursor + n] = lab
+            no_asso[cursor:cursor + n] = take
+            cursor += n
+            # top-up from this frame's stride-4 candidates on the same mask
+            # label (Tracking.cc:4468-4562)
+            if n < self.P_OBJ and co_v.any():
+                cok, cm, cdd, cff, ccc = obj_filt(co_uv)
+                cok &= co_v & (cm == sem_now) & (sem_now != 0)
+                if n:
+                    d2 = (
+                        (co_uv[:, None, 0] - o_uv[None, take, 0]) ** 2
+                        + (co_uv[:, None, 1] - o_uv[None, take, 1]) ** 2
+                    )
+                    cok &= d2.min(axis=1) >= 1.0
+                pick = np.nonzero(cok)[0][: self.P_OBJ - n]
+                nn = min(len(pick), self.NO - cursor)
+                pick = pick[:nn]
+                no_uv[cursor:cursor + nn] = co_uv[pick]
+                no_d[cursor:cursor + nn] = cdd[pick]
+                no_f[cursor:cursor + nn] = cff[pick]
+                no_c[cursor:cursor + nn] = ccc[pick]
+                no_sem[cursor:cursor + nn] = cm[pick]
+                no_label[cursor:cursor + nn] = lab
+                cursor += nn
+
+        # new semantic labels not currently tracked enter as fresh
+        # candidates (next frame's DynObjTracking will classify them,
+        # Tracking.cc:4627-4692)
+        if co_v.any() and cursor < self.NO:
+            cok, cm, cdd, cff, ccc = obj_filt(co_uv)
+            cok &= co_v
+            for sem_new in [int(x) for x in np.unique(cm[cok]) if x != 0]:
+                if sem_new in live_sems:
+                    continue
+                pick = np.nonzero(cok & (cm == sem_new))[0][: self.P_OBJ]
+                nn = min(len(pick), self.NO - cursor)
+                pick = pick[:nn]
+                no_uv[cursor:cursor + nn] = co_uv[pick]
+                no_d[cursor:cursor + nn] = cdd[pick]
+                no_f[cursor:cursor + nn] = cff[pick]
+                no_c[cursor:cursor + nn] = ccc[pick]
+                no_sem[cursor:cursor + nn] = cm[pick]
+                no_label[cursor:cursor + nn] = -2
+                cursor += nn
+        obj_valid = np.arange(self.NO) < cursor
+
+        # ---- object lines: keep + top-up per object ----
+        nol_uv = np.zeros((self.NLO, 4), np.float32)
+        nol_d = np.zeros((self.NLO, 2), np.float32)
+        nol_f = np.zeros((self.NLO, 4), np.float32)
+        nol_c = np.zeros((self.NLO, 4), np.float32)
+        nol_sem = np.zeros(self.NLO, np.int32)
+        nol_label = np.full(self.NLO, -2, np.int32)
+        nol_asso = np.full(self.NLO, -1, np.int32)
+        lcursor = 0
+        col_uv, col_d, col_f, col_c, col_s, col_v = [
+            np.asarray(a) for a in oline_tmp
+        ]
+        oline_label_arr = getattr(
+            self, "_oline_label", np.full(self.NLO, -2, np.int32)
+        )
+        for lab in tracked_labels:
+            lidx = np.nonzero(
+                (oline_label_arr == lab) & oline_ok & ol_valid
+            )[0][: self.L_OBJ]
+            n = min(len(lidx), self.NLO - lcursor)
+            lidx = lidx[:n]
+            nol_uv[lcursor:lcursor + n] = ol_uv[lidx]
+            nol_d[lcursor:lcursor + n] = ol_d[lidx]
+            nol_sem[lcursor:lcursor + n] = ol_sem[lidx]
+            nol_label[lcursor:lcursor + n] = lab
+            nol_asso[lcursor:lcursor + n] = lidx
+            lcursor += n
+        # top-up object lines from detections
+        if col_v.any() and lcursor < self.NLO:
+            pick = np.nonzero(col_v)[0][: self.NLO - lcursor]
+            nn = len(pick)
+            nol_uv[lcursor:lcursor + nn] = col_uv[pick]
+            nol_d[lcursor:lcursor + nn] = col_d[pick]
+            nol_f[lcursor:lcursor + nn] = col_f[pick]
+            nol_c[lcursor:lcursor + nn] = col_c[pick]
+            nol_sem[lcursor:lcursor + nn] = col_s[pick]
+            nol_label[lcursor:lcursor + nn] = -2
+            lcursor += nn
+        oline_valid = np.arange(self.NLO) < lcursor
+        # recompute flows/corres for kept object lines at their new positions
+        lok, _, _, _ = filt_line(nol_uv)
+        lf_s = flow_np[
+            np.clip(nol_uv[:, 1].astype(np.int32), 0, h - 1),
+            np.clip(nol_uv[:, 0].astype(np.int32), 0, w - 1),
+        ]
+        lf_e = flow_np[
+            np.clip(nol_uv[:, 3].astype(np.int32), 0, h - 1),
+            np.clip(nol_uv[:, 2].astype(np.int32), 0, w - 1),
+        ]
+        nol_f = np.concatenate([lf_s, lf_e], axis=1).astype(np.float32)
+        nol_c = nol_uv + nol_f
+
+        # ---- recompute 3D in world ----
+        pose_j = jnp.asarray(pose_np)
+        stat_3d = np.asarray(self._world_pts(
+            pose_j, jnp.asarray(new_uv), jnp.asarray(new_d)
+        ))
+        line_3d = np.asarray(self._world_lns(
+            pose_j, jnp.asarray(new_l), jnp.asarray(new_ld)
+        ))
+        obj_3d = np.asarray(self._world_pts(
+            pose_j, jnp.asarray(no_uv), jnp.asarray(no_d)
+        ))
+        oline_3d = np.asarray(self._world_lns(
+            pose_j, jnp.asarray(nol_uv), jnp.asarray(nol_d)
+        ))
+
+        return dict(
+            pose=pose_np, pose_gt=pose_gt,
+            stat_uv=new_uv, stat_depth=new_d, stat_flow=new_f,
+            stat_corres=new_c, stat_valid=stat_valid, stat_3d=stat_3d,
+            stat_asso=new_asso,
+            line_uv=new_l, line_depth=new_ld, line_flow=new_lf,
+            line_corres=new_lc, line_valid=line_valid, line_3d=line_3d,
+            line_asso=new_lasso,
+            obj_uv=no_uv, obj_depth=no_d, obj_flow=no_f, obj_corres=no_c,
+            obj_sem=no_sem, obj_valid=obj_valid, obj_3d=obj_3d,
+            obj_label=no_label, obj_asso=no_asso,
+            oline_uv=nol_uv, oline_depth=nol_d, oline_flow=nol_f,
+            oline_corres=nol_c, oline_sem=nol_sem, oline_valid=oline_valid,
+            oline_3d=oline_3d, oline_label=nol_label, oline_asso=nol_asso,
+            gt_objs=gt_objs,
+        )
+
+    @staticmethod
+    @functools.lru_cache(maxsize=8)
+    def _strided_order_cached(n: int, step: int):
+        order = []
+        for start in range(step):
+            order.extend(range(start, n, step))
+        return np.asarray(order, np.int64)
+
+    def _strided_order(self, n, step):
+        return self._strided_order_cached(n, step)
+
+    @staticmethod
+    def _line_dup(cand_uv4, kept_uv4):
+        """Reference line dedup (Tracking.cc:4174-4203 / Frame.cc:1582):
+        near-parallel (angle < pi/30) and midpoint distance < max(len)/2."""
+        c_dir = cand_uv4[:, 2:] - cand_uv4[:, :2]
+        k_dir = kept_uv4[:, 2:] - kept_uv4[:, :2]
+        c_mid = 0.5 * (cand_uv4[:, 2:] + cand_uv4[:, :2])
+        k_mid = 0.5 * (kept_uv4[:, 2:] + kept_uv4[:, :2])
+        c_len = np.linalg.norm(c_dir, axis=1) + 1e-9
+        k_len = np.linalg.norm(k_dir, axis=1) + 1e-9
+        cosang = (
+            c_dir @ k_dir.T / (c_len[:, None] * k_len[None, :])
+        )
+        middist = np.linalg.norm(
+            c_mid[:, None] - k_mid[None], axis=2
+        )
+        dup = (cosang > np.cos(np.pi / 30)) & (
+            middist < 0.5 * np.maximum(c_len[:, None], k_len[None, :])
+        )
+        return dup.any(axis=1)
+
+    # ------------------------------------------------------------------
+    def _push_map(self, st, pose_np, pose_gt, obj_meta, timing):
+        """Map appends (Tracking.cc:1578-1786)."""
+        m = self.map
+        m.stat_uv.append(st["stat_uv"]); m.stat_depth.append(st["stat_depth"])
+        m.stat_3d.append(st["stat_3d"]); m.stat_valid.append(st["stat_valid"])
+        m.stat_asso.append(st["stat_asso"])
+        m.line_uv.append(st["line_uv"]); m.line_depth.append(st["line_depth"])
+        m.line_3d.append(st["line_3d"]); m.line_valid.append(st["line_valid"])
+        m.line_asso.append(st["line_asso"])
+        plk = np.asarray(geometry.plucker_from_endpoints(
+            jnp.asarray(st["line_3d"][:, :3]), jnp.asarray(st["line_3d"][:, 3:])
+        ))
+        m.line_plucker.append(plk)
+        m.dyn_uv.append(st["obj_uv"]); m.dyn_depth.append(st["obj_depth"])
+        m.dyn_3d.append(st["obj_3d"]); m.dyn_valid.append(st["obj_valid"])
+        m.dyn_asso.append(st["obj_asso"]); m.dyn_label.append(st["obj_label"])
+        m.dline_uv.append(st["oline_uv"]); m.dline_depth.append(st["oline_depth"])
+        m.dline_3d.append(st["oline_3d"]); m.dline_valid.append(st["oline_valid"])
+        m.dline_asso.append(st["oline_asso"]); m.dline_label.append(st["oline_label"])
+        dplk = np.asarray(geometry.plucker_from_endpoints(
+            jnp.asarray(st["oline_3d"][:, :3]), jnp.asarray(st["oline_3d"][:, 3:])
+        ))
+        m.dline_plucker.append(dplk)
+
+        m.camera_poses.append(np.linalg.inv(pose_np).astype(np.float32))
+        m.camera_poses_rf.append(np.linalg.inv(pose_np).astype(np.float32))
+        m.camera_poses_gt.append(np.linalg.inv(pose_gt).astype(np.float32))
+
+        cam_motion = np.linalg.inv(self.velocity).astype(np.float32)
+        motions = [cam_motion]
+        pose_pres = [cam_motion]
+        labels = [0]
+        sems = [0]
+        stats = [True]
+        centres = [np.zeros(3, np.float32)]
+        motions_gt = [
+            (self.last["pose_gt"] @ np.linalg.inv(pose_gt)).astype(np.float32)
+        ]
+        speeds = [1.0]
+        sem_position, mod_label, obj_stat_meta = [], [], []
+        obj_motion_map = {}
+        for om in obj_meta:
+            sem_position.append(om["sem"])
+            mod_label.append(om["label"])
+            obj_stat_meta.append(om["stat"])
+            if not om["stat"]:
+                continue
+            motions.append(om["H"])
+            pose_pres.append(om["pose_pre"])
+            labels.append(om["label"])
+            sems.append(om["sem"])
+            stats.append(True)
+            centres.append(om["centre"])
+            motions_gt.append(om["H_gt_body"])
+            speeds.append(0.0)
+            obj_motion_map[om["label"]] = om["H"]
+        m.rigid_motions.append(motions)
+        m.rigid_motions_rf.append([x.copy() for x in motions])
+        m.rigid_motions_gt.append(motions_gt)
+        m.obj_pose_pre.append(pose_pres)
+        m.rigid_centres.append(centres)
+        m.rm_labels.append(labels)
+        m.sm_labels.append(sems)
+        m.obj_stat.append(stats)
+        m.speeds_gt.append(speeds)
+        m.frame_times.append(timing.copy())
+
+        self.last_meta = {
+            "sem_position": sem_position,
+            "mod_label": mod_label,
+            "obj_stat": obj_stat_meta,
+            "obj_motion": obj_motion_map,
+        }
