@@ -1,0 +1,91 @@
+"""Benchmark: KITTI-scale tracking FPS per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference binary cannot run in this environment (it needs OpenCV 3.4
+C++ shared libraries; zero egress), so the baseline is the documented
+estimate in BASELINE.md: the reference is single-threaded C++ running,
+per frame, several g2o Levenberg-Marquardt solves over thousands of
+per-feature vertices (camera + per-object), measured by its own authors
+only as "runs on CPU".  We use 2.0 FPS (500 ms/frame) as a
+generous-to-the-reference estimate for KITTI-scale tracking
+(VDO-SLAM-family systems report 200-800 ms/frame tracking on comparable
+CPUs).  vs_baseline = our_fps / 2.0.
+
+Run on real KITTI data when available: the same System API consumes it
+(sdpl_slam_tpu.io.dataset.load_sequence).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent / "tests"))
+
+BASELINE_REF_FPS = 2.0
+
+
+def main():
+    from synthetic import SynthConfig, SynthSequence, synth_settings
+    from sdpl_slam_tpu.models.system import System
+    from sdpl_slam_tpu.utils import metrics
+
+    # KITTI-scale: 1242x375, reference caps (1200 bg pts, 800 obj pts, 400
+    # lines), 2 moving objects
+    cfg = SynthConfig(
+        n_frames=14, n_objects=2, width=1242, height=375,
+        fx=721.5377, fy=721.5377, cx=609.5593, cy=172.854,
+        noise_flow=0.2,
+    )
+    settings = synth_settings(cfg)
+    settings.fx, settings.fy = cfg.fx, cfg.fy
+    settings.cx, settings.cy = cfg.cx, cfg.cy
+    settings.width, settings.height = cfg.width, cfg.height
+    settings.max_track_point_bg = 1200
+    settings.max_track_point_obj = 800
+    settings.max_static_lines = 400
+    settings.max_objects = 8
+    settings.th_depth_bg = 40.0
+    settings.th_depth_obj = 25.0
+    settings.min_object_points = 150
+    settings.run_local_ba = False      # tracking-only FPS (the headline)
+
+    seq = SynthSequence(cfg)
+    system = System(settings, verbose=False)
+
+    n = seq.n_frames - 1
+    warmup = 3
+    times = []
+    for t in range(n):
+        f = seq.frame(t)
+        t0 = time.perf_counter()
+        system.track_rgbd(
+            f.gray, f.depth, f.flow, f.mask, f.gt_pose, f.obj_rows,
+            t * 0.1, n, line_detections=f.lines,
+        )
+        dt = time.perf_counter() - t0
+        if t >= warmup:
+            times.append(dt)
+
+    mean_s = float(np.mean(times))
+    fps = 1.0 / mean_s
+
+    # sanity: the pipeline must actually be tracking
+    t_err, r_err = metrics.camera_rpe(
+        system.map.camera_poses, system.map.camera_poses_gt
+    )
+    ok = t_err < 0.05 and r_err < 0.3
+
+    print(json.dumps({
+        "metric": "kitti_scale_tracking_fps_per_chip",
+        "value": round(fps if ok else 0.0, 3),
+        "unit": "frames/s",
+        "vs_baseline": round((fps if ok else 0.0) / BASELINE_REF_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

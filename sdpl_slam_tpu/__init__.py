@@ -23,3 +23,11 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# Metric SLAM geometry cannot tolerate the TPU MXU's bf16 default-precision
+# matmuls (~5e-3 relative error on pose compositions -- verified to corrupt
+# trajectories).  All library matmuls run in full f32; compute-bound kernels
+# that genuinely want bf16 must request it explicitly.
+_jax.config.update("jax_default_matmul_precision", "float32")

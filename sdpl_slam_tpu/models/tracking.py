@@ -41,6 +41,48 @@ _HI = jax.lax.Precision.HIGHEST
 _EYE4 = np.eye(4, dtype=np.float32)
 
 
+def _np_backproject(K: Intrinsics, uv: np.ndarray, z: np.ndarray):
+    fx, fy, cx, cy = float(K.fx), float(K.fy), float(K.cx), float(K.cy)
+    x = (uv[..., 0] - cx) * z / fx
+    y = (uv[..., 1] - cy) * z / fy
+    return np.stack([x, y, z], axis=-1).astype(np.float32)
+
+
+def _np_world_points(K: Intrinsics, T_cw: np.ndarray, uv: np.ndarray,
+                     z: np.ndarray):
+    Xc = _np_backproject(K, uv, z)
+    T_wc = np.linalg.inv(T_cw)
+    return (Xc @ T_wc[:3, :3].T + T_wc[:3, 3]).astype(np.float32)
+
+
+def _np_world_lines(K: Intrinsics, T_cw: np.ndarray, uv4: np.ndarray,
+                    d2: np.ndarray):
+    s = _np_world_points(K, T_cw, uv4[..., :2], d2[..., 0])
+    e = _np_world_points(K, T_cw, uv4[..., 2:], d2[..., 1])
+    return np.concatenate([s, e], axis=-1)
+
+
+def _np_plucker(p: np.ndarray, q: np.ndarray):
+    d = q - p
+    n = np.linalg.norm(d, axis=-1, keepdims=True)
+    d = d / np.maximum(n, 1e-12)
+    return np.concatenate([np.cross(p, d), d], axis=-1).astype(np.float32)
+
+
+def _np_preprocess_depth(depth_raw: np.ndarray, choose_data: int,
+                         factor: float, bf: float) -> np.ndarray:
+    """Host mirror of frame.preprocess_depth -- dense device->host pulls are
+    prohibitively slow over the axon tunnel, so renewal/map logic uses this
+    host copy."""
+    d = np.where(depth_raw < 0, 0.0, depth_raw.astype(np.float32))
+    if choose_data == KITTI:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(d > 0, bf / (d / factor), 0.0)
+    else:
+        out = d / factor
+    return out.astype(np.float32)
+
+
 def obj_pose_parsing_kt(row: np.ndarray) -> np.ndarray:
     """KITTI object-pose row -> 4x4 pose in CAMERA coordinates
     (``ObjPoseParsingKT``, /root/reference/src/Tracking.cc:3134-3241):
@@ -110,6 +152,8 @@ class Tracking:
         self.map = MapState()
         self.mask_np: Optional[np.ndarray] = None        # current (possibly
                                                          # recovered) mask
+        self.last_mask_np: Optional[np.ndarray] = None   # mSegMapLast
+        self.last_flow_np: Optional[np.ndarray] = None   # mFlowMapLast
 
         self._build_jits()
 
@@ -360,11 +404,31 @@ class Tracking:
 
         # --- candidates ---
         t0 = _time.perf_counter()
-        if point_detections is not None and cfg.use_sample_fea == 0:
+        if cfg.use_sample_fea == 0 and point_detections is None:
+            # run the FAST pyramid detector (ORBextractor equivalent)
+            from ..ops import fast as fast_ops
+
+            fcfg = fast_ops.FastPyramidConfig(
+                n_features=min(cfg.orb_n_features, self.N_CAND),
+                scale_factor=cfg.orb_scale_factor,
+                n_levels=cfg.orb_n_levels,
+                ini_threshold=float(cfg.orb_ini_th_fast),
+                min_threshold=float(cfg.orb_min_th_fast),
+            )
+            d_uv, _, d_valid = fast_ops.detect_keypoints(
+                jnp.asarray(gray), fcfg
+            )
+            cand = np.zeros((self.N_CAND, 2), np.float32)
+            cand_valid = np.zeros(self.N_CAND, bool)
+            n = min(d_uv.shape[0], self.N_CAND)
+            cand[:n] = np.asarray(d_uv[:n])
+            cand_valid[:n] = np.asarray(d_valid[:n])
+        elif point_detections is not None and cfg.use_sample_fea == 0:
             cand = np.zeros((self.N_CAND, 2), np.float32)
             n = min(len(point_detections), self.N_CAND)
             cand[:n] = point_detections[:n]
-            cand_valid = np.arange(self.N_CAND) < n
+            cand_valid = np.zeros(self.N_CAND, bool)
+            cand_valid[:n] = True
         else:
             cand = np.asarray(fr.grid_sample_uv(h, w, n_points=self.N_CAND))
             cand_valid = np.ones(self.N_CAND, bool)
@@ -375,8 +439,16 @@ class Tracking:
             lcand[:n] = line_detections[:n]
             lcand_valid[:n] = True
 
-        # --- mask recovery (stage 2: UpdateMask; identity for now) ---
-        self.mask_np = np.asarray(mask, np.int32)
+        # --- mask recovery (UpdateMask, Tracking.cc:4730-4810) ---
+        self.mask_np = np.asarray(mask, np.int32).copy()
+        if self.f_id > 0 and self.last is not None:
+            self._update_mask()
+        # host mirror of the preprocessed depth (dense device->host pulls
+        # are prohibitively slow over the TPU tunnel)
+        self.depth_np = _np_preprocess_depth(
+            np.asarray(depth_raw, np.float32), cfg.choose_data,
+            cfg.depth_map_factor, cfg.bf,
+        )
 
         depth, stat_tmp, line_tmp, obj_tmp, oline_tmp = self._prep(
             jnp.asarray(depth_raw, jnp.float32),
@@ -397,8 +469,42 @@ class Tracking:
                 depth, flow, stat_tmp, line_tmp, obj_tmp, oline_tmp,
                 pose_gt, gt_objs, timing, stop_frame,
             )
+        self.last_mask_np = self.mask_np.copy()
+        self.last_flow_np = np.asarray(flow, np.float32)
         self.f_id += 1
         return pose
+
+    # ------------------------------------------------------------------
+    def _update_mask(self):
+        """Mask recovery (Tracking.cc:4730-4810): per last-frame semantic
+        label, sample the current mask at the flow-warped object points; if
+        the majority vote (over >= 100 samples) is background, the segmenter
+        lost the object -- splat the last mask forward along the last flow."""
+        last = self.last
+        if self.last_mask_np is None or self.last_flow_np is None:
+            return
+        h, w = self.mask_np.shape
+        sem = last["obj_sem"]
+        valid = last["obj_valid"]
+        corres = last["obj_corres"]
+        for lab in np.unique(sem[valid & (sem > 0)]):
+            idx = np.nonzero(valid & (sem == lab))[0]
+            u = corres[idx, 0].astype(np.int32)
+            v = corres[idx, 1].astype(np.int32)
+            inb = (u > 0) & (u < w) & (v > 0) & (v < h)
+            if inb.sum() < 100:
+                continue
+            samples = self.mask_np[v[inb], u[inb]]
+            vals, counts = np.unique(samples, return_counts=True)
+            if vals[np.argmax(counts)] != 0:
+                continue
+            # splat: current mask at (pixel + last flow) = label
+            ys, xs = np.nonzero(self.last_mask_np == lab)
+            fx = self.last_flow_np[ys, xs, 0].astype(np.int32)
+            fy = self.last_flow_np[ys, xs, 1].astype(np.int32)
+            nx, ny = xs + fx, ys + fy
+            ok = (nx > 0) & (nx < w) & (ny > 0) & (ny < h)
+            self.mask_np[ny[ok], nx[ok]] = lab
 
     # ------------------------------------------------------------------
     def _initialize(self, depth, flow, stat_tmp, line_tmp, obj_tmp,
@@ -449,10 +555,7 @@ class Tracking:
         m.line_uv.append(st["line_uv"]); m.line_depth.append(st["line_depth"])
         m.line_3d.append(st["line_3d"]); m.line_valid.append(st["line_valid"])
         m.line_asso.append(np.full(self.NLS, -1, np.int32))
-        plk = np.asarray(geometry.plucker_from_endpoints(
-            jnp.asarray(st["line_3d"][:, :3]), jnp.asarray(st["line_3d"][:, 3:])
-        ))
-        m.line_plucker.append(plk)
+        m.line_plucker.append(_np_plucker(st["line_3d"][:, :3], st["line_3d"][:, 3:]))
         m.dyn_uv.append(st["obj_uv"]); m.dyn_depth.append(st["obj_depth"])
         m.dyn_3d.append(st["obj_3d"]); m.dyn_valid.append(st["obj_valid"])
         m.dyn_asso.append(np.full(self.NO, -1, np.int32))
@@ -461,10 +564,7 @@ class Tracking:
         m.dline_3d.append(st["oline_3d"]); m.dline_valid.append(st["oline_valid"])
         m.dline_asso.append(np.full(self.NLO, -1, np.int32))
         m.dline_label.append(st["oline_label"])
-        dplk = np.asarray(geometry.plucker_from_endpoints(
-            jnp.asarray(st["oline_3d"][:, :3]), jnp.asarray(st["oline_3d"][:, 3:])
-        ))
-        m.dline_plucker.append(dplk)
+        m.dline_plucker.append(_np_plucker(st["oline_3d"][:, :3], st["oline_3d"][:, 3:]))
         m.camera_poses.append(_EYE4.copy())
         m.camera_poses_rf.append(_EYE4.copy())
         m.camera_poses_gt.append(_EYE4.copy())
@@ -608,6 +708,37 @@ class Tracking:
         # ================= MAP =================
         self._push_map(new_state, pose_np, pose_gt, obj_meta, timing)
         self.last = new_state
+
+        # ===== batch optimization triggers (Tracking.cc:1793-1884) =====
+        from ..solvers import ba_builder
+
+        f_id = self.f_id
+        if (
+            cfg.run_local_ba
+            and (f_id - cfg.overlap_size + 1)
+            % max(cfg.window_size - cfg.overlap_size, 1) == 0
+            and f_id >= cfg.window_size - 1
+        ):
+            t0 = _time.perf_counter()
+            ba_builder.partial_batch_optimization(
+                self.map, self.K, cfg.window_size, cfg,
+                use_lines=cfg.use_lines,
+            )
+            self.map.lba_times.append((_time.perf_counter() - t0) * 1e3)
+            pose_np = np.linalg.inv(
+                self.map.camera_poses[-1]
+            ).astype(np.float32)
+            self.last["pose"] = pose_np
+
+        run_global = (
+            cfg.run_global_ba
+            if cfg.run_global_ba is not None
+            else cfg.choose_data == KITTI
+        )
+        if f_id == stop_frame and run_global:
+            ba_builder.full_batch_optimization(
+                self.map, self.K, cfg, use_lines=cfg.use_lines
+            )
         return pose_np
 
     # ------------------------------------------------------------------
@@ -812,12 +943,9 @@ class Tracking:
             if not stat:
                 H = _EYE4.copy()
             centre = (
-                np.asarray(
-                    self._world_pts(
-                        jnp.asarray(last["pose"]),
-                        jnp.asarray(last["obj_uv"][pidx]),
-                        jnp.asarray(last["obj_depth"][pidx]),
-                    )
+                _np_world_points(
+                    self.K, last["pose"], last["obj_uv"][pidx],
+                    last["obj_depth"][pidx],
                 ).mean(axis=0)
                 if n
                 else np.zeros(3, np.float32)
@@ -853,7 +981,7 @@ class Tracking:
         this frame's detections with dedup, recompute depth/3D, rebuild
         association ids."""
         cfg = self.cfg
-        depth_np = np.asarray(depth)
+        depth_np = self.depth_np
         flow_np = np.asarray(flow)
         mask_np = self.mask_np
         h, w = mask_np.shape
@@ -899,11 +1027,7 @@ class Tracking:
             cand_ok, cd, cf, cc = filt_point(cs_uv)
             cand_ok &= cs_v
             if nk:
-                d2 = (
-                    (cs_uv[:, None, 0] - new_uv[None, :nk, 0]) ** 2
-                    + (cs_uv[:, None, 1] - new_uv[None, :nk, 1]) ** 2
-                )
-                cand_ok &= d2.min(axis=1) >= 1.0
+                cand_ok &= ~self._near_occupied(new_uv[:nk], cs_uv, h, w)
             order = self._strided_order(len(cs_uv), 10)
             pick = order[cand_ok[order]][: self.NS - nk]
             np_new = len(pick)
@@ -1035,11 +1159,7 @@ class Tracking:
                 cok, cm, cdd, cff, ccc = obj_filt(co_uv)
                 cok &= co_v & (cm == sem_now) & (sem_now != 0)
                 if n:
-                    d2 = (
-                        (co_uv[:, None, 0] - o_uv[None, take, 0]) ** 2
-                        + (co_uv[:, None, 1] - o_uv[None, take, 1]) ** 2
-                    )
-                    cok &= d2.min(axis=1) >= 1.0
+                    cok &= ~self._near_occupied(o_uv[take], co_uv, h, w)
                 pick = np.nonzero(cok)[0][: self.P_OBJ - n]
                 nn = min(len(pick), self.NO - cursor)
                 pick = pick[:nn]
@@ -1124,20 +1244,11 @@ class Tracking:
         nol_f = np.concatenate([lf_s, lf_e], axis=1).astype(np.float32)
         nol_c = nol_uv + nol_f
 
-        # ---- recompute 3D in world ----
-        pose_j = jnp.asarray(pose_np)
-        stat_3d = np.asarray(self._world_pts(
-            pose_j, jnp.asarray(new_uv), jnp.asarray(new_d)
-        ))
-        line_3d = np.asarray(self._world_lns(
-            pose_j, jnp.asarray(new_l), jnp.asarray(new_ld)
-        ))
-        obj_3d = np.asarray(self._world_pts(
-            pose_j, jnp.asarray(no_uv), jnp.asarray(no_d)
-        ))
-        oline_3d = np.asarray(self._world_lns(
-            pose_j, jnp.asarray(nol_uv), jnp.asarray(nol_d)
-        ))
+        # ---- recompute 3D in world (host; tiny arrays) ----
+        stat_3d = _np_world_points(self.K, pose_np, new_uv, new_d)
+        line_3d = _np_world_lines(self.K, pose_np, new_l, new_ld)
+        obj_3d = _np_world_points(self.K, pose_np, no_uv, no_d)
+        oline_3d = _np_world_lines(self.K, pose_np, nol_uv, nol_d)
 
         return dict(
             pose=pose_np, pose_gt=pose_gt,
@@ -1166,6 +1277,21 @@ class Tracking:
 
     def _strided_order(self, n, step):
         return self._strided_order_cached(n, step)
+
+    @staticmethod
+    def _near_occupied(kept_uv, cand_uv, h, w):
+        """O(N) 1px-radius dedup (replaces the reference's O(N^2) scan,
+        Tracking.cc:4105-4123): occupancy bitmap of kept positions dilated
+        by one pixel, candidates tested by lookup."""
+        occ = np.zeros((h + 2, w + 2), bool)
+        kx = np.clip(kept_uv[:, 0].astype(np.int32), 0, w - 1)
+        ky = np.clip(kept_uv[:, 1].astype(np.int32), 0, h - 1)
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                occ[ky + dy, kx + dx] = True
+        cx = np.clip(cand_uv[:, 0].astype(np.int32), 0, w - 1)
+        cy = np.clip(cand_uv[:, 1].astype(np.int32), 0, h - 1)
+        return occ[cy + 1, cx + 1]
 
     @staticmethod
     def _line_dup(cand_uv4, kept_uv4):
@@ -1198,20 +1324,14 @@ class Tracking:
         m.line_uv.append(st["line_uv"]); m.line_depth.append(st["line_depth"])
         m.line_3d.append(st["line_3d"]); m.line_valid.append(st["line_valid"])
         m.line_asso.append(st["line_asso"])
-        plk = np.asarray(geometry.plucker_from_endpoints(
-            jnp.asarray(st["line_3d"][:, :3]), jnp.asarray(st["line_3d"][:, 3:])
-        ))
-        m.line_plucker.append(plk)
+        m.line_plucker.append(_np_plucker(st["line_3d"][:, :3], st["line_3d"][:, 3:]))
         m.dyn_uv.append(st["obj_uv"]); m.dyn_depth.append(st["obj_depth"])
         m.dyn_3d.append(st["obj_3d"]); m.dyn_valid.append(st["obj_valid"])
         m.dyn_asso.append(st["obj_asso"]); m.dyn_label.append(st["obj_label"])
         m.dline_uv.append(st["oline_uv"]); m.dline_depth.append(st["oline_depth"])
         m.dline_3d.append(st["oline_3d"]); m.dline_valid.append(st["oline_valid"])
         m.dline_asso.append(st["oline_asso"]); m.dline_label.append(st["oline_label"])
-        dplk = np.asarray(geometry.plucker_from_endpoints(
-            jnp.asarray(st["oline_3d"][:, :3]), jnp.asarray(st["oline_3d"][:, 3:])
-        ))
-        m.dline_plucker.append(dplk)
+        m.dline_plucker.append(_np_plucker(st["oline_3d"][:, :3], st["oline_3d"][:, 3:]))
 
         m.camera_poses.append(np.linalg.inv(pose_np).astype(np.float32))
         m.camera_poses_rf.append(np.linalg.inv(pose_np).astype(np.float32))

@@ -1,0 +1,117 @@
+"""Multi-chip global bundle adjustment via GSPMD edge-parallelism.
+
+The full-sequence BA is the framework's scale axis (SURVEY.md section 5
+"long context"): a KITTI sequence produces hundreds of thousands of
+observation edges.  The edge stacks in :mod:`..solvers.batch_ba` are
+embarrassingly parallel over the edge axis -- each edge gathers a handful
+of vertices, computes a tiny residual/Jacobian, and scatter-adds into the
+(small, replicated) variable vector.  Sharding recipe:
+
+ * mesh axis ``"edge"`` over all chips (ICI);
+ * every edge array (index, measurement, validity) sharded along axis 0;
+ * vertex/state arrays replicated; the scatter-adds inside the CG
+   Hessian-vector product become ``psum``-style collectives inserted by
+   GSPMD, riding the ICI.
+
+This scales the dominant cost (per-edge linearization + HVP streams) with
+chip count while keeping the reduced variable state coherent.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solvers import batch_ba as bb
+
+# BAGraph fields sharded along their leading (edge) axis; everything else
+# (vertex initializations, scalars) is replicated.
+_EDGE_FIELDS = {
+    "odo_i", "odo_j", "odo_meas", "odo_valid",
+    "smo_i", "smo_j", "smo_valid",
+    "sp_cam", "sp_pt", "sp_meas", "sp_valid",
+    "sl_cam", "sl_line", "sl_meas", "sl_valid",
+    "dp_cam", "dp_pt", "dp_meas", "dp_valid",
+    "tern_prev", "tern_cur", "tern_mot", "tern_valid",
+    "dl_cam", "dl_line", "dl_meas", "dl_valid",
+    "ltern_prev", "ltern_cur", "ltern_mot", "ltern_valid",
+}
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "edge") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _pad_to_multiple(x: jnp.ndarray, mult: int):
+    n = x.shape[0]
+    rem = (-n) % mult
+    if rem == 0:
+        return x
+    pad = jnp.zeros((rem,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x, pad], axis=0)
+
+
+def shard_graph(graph: bb.BAGraph, mesh: Mesh, axis: str = "edge"):
+    """Place edge arrays sharded over the mesh, the rest replicated.
+    Edge arrays are padded (with invalid entries) to a multiple of the mesh
+    size."""
+    n = mesh.devices.size
+    edge_spec = NamedSharding(mesh, P(axis))
+    repl_spec = NamedSharding(mesh, P())
+    out = {}
+    for name, val in graph._asdict().items():
+        if name in _EDGE_FIELDS:
+            val = _pad_to_multiple(val, n)
+            out[name] = jax.device_put(val, edge_spec)
+        else:
+            out[name] = jax.device_put(val, repl_spec)
+    return bb.BAGraph(**out)
+
+
+def sharded_ba_step(graph: bb.BAGraph, state: bb.BAState, w: bb.BAWeights,
+                    lam, mesh: Mesh, cg_iters: int = 10):
+    """One damped-GN BA step with the graph sharded over the mesh.  GSPMD
+    propagates the edge sharding through linearization and inserts the
+    reduction collectives for the scatter-adds."""
+    step = jax.jit(
+        bb.ba_gn_step, static_argnames=("cg_iters", "w"),
+    )
+    return step(graph, state, w, lam, cg_iters=cg_iters)
+
+
+def run_sharded_ba(graph: bb.BAGraph, w: bb.BAWeights, mesh: Mesh,
+                   max_iters: int = 10, cg_iters: int = 20):
+    """LM loop over the sharded graph (full-sequence BA across chips)."""
+    graph = shard_graph(graph, mesh)
+    state = bb.BAState(
+        cam_T=graph.cam_T0, mot_T=graph.mot_T0,
+        Xs=graph.Xs0, Ls_U=graph.Ls_U0, Ls_w=graph.Ls_w0,
+        Xd=graph.Xd0, Ld_U=graph.Ld_U0, Ld_w=graph.Ld_w0,
+    )
+    cost_fn = jax.jit(bb._cost_only, static_argnames=("w",))
+    retract = jax.jit(bb._retract)
+    lam = jnp.asarray(1e-5, jnp.float32)
+    nu = 2.0
+    cost = float(cost_fn(graph, state, w))
+    for _ in range(max_iters):
+        d, _, gain_den = sharded_ba_step(
+            graph, state, w, lam, mesh, cg_iters=cg_iters
+        )
+        new_state = retract(state, d)
+        new_cost = float(cost_fn(graph, new_state, w))
+        rho = (cost - new_cost) / max(float(gain_den), 1e-20)
+        if np.isfinite(new_cost) and rho > 0:
+            state, cost = new_state, new_cost
+            lam = lam * max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+            nu = 2.0
+        else:
+            lam = lam * nu
+            nu *= 2.0
+    return state, cost

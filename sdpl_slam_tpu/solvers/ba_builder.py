@@ -1,0 +1,416 @@
+"""MapState -> BAGraph construction + the two BA entry points.
+
+``full_batch_optimization`` = FullBatchOptimizationWithLines
+(/root/reference/src/Optimizer.cc:3876): whole sequence, motion vertices
+initialized to IDENTITY (:4640), writes refined camera poses / motions into
+the *_RF* map fields (:5618-5736).
+
+``partial_batch_optimization`` = PartialBatchOptimizationWithLines (:1235):
+the last WINDOW_SIZE frames, first window pose pinned by a strong prior
+(info I/1e-7, :1463), motion vertices initialized from current estimates
+(:447), and the result written back into the PRIMARY map fields
+(vmCameraPose / vmRigidMotion, :1074-1104) so subsequent windows build on
+refined estimates.
+
+Array sizes are bucketed to powers of two so repeated local-BA calls reuse
+compiled executables.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import tracklets as tk
+from ..ops import geometry
+from ..ops.geometry import Intrinsics
+from . import batch_ba as bb
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    m = max(n, minimum)
+    return 1 << (m - 1).bit_length()
+
+
+def _pad(a: np.ndarray, n: int, fill=0):
+    out = np.full((n,) + a.shape[1:], fill, a.dtype)
+    out[: len(a)] = a
+    return out
+
+
+def _backproject_np(K: Intrinsics, uv: np.ndarray, z: np.ndarray):
+    fx, fy, cx, cy = (float(K.fx), float(K.fy), float(K.cx), float(K.cy))
+    x = (uv[..., 0] - cx) * z / fx
+    y = (uv[..., 1] - cy) * z / fy
+    return np.stack([x, y, z], axis=-1)
+
+
+def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
+                min_track_len: int = 3,
+                motion_init_identity: bool = True,
+                prior_info: float = 1e5,
+                use_lines: bool = True) -> Tuple[bb.BAGraph, dict]:
+    """Build the padded BAGraph over frames [f0, f1).  Returns the graph and
+    a meta dict for write-back (index maps)."""
+    m = map_state
+    F = f1 - f0
+    dt = np.float32
+
+    cam_T0 = np.stack([m.camera_poses[f] for f in range(f0, f1)]).astype(dt)
+
+    # odometry edges: meas = rigid_motions[i-1][0] for frame i
+    odo_i, odo_j, odo_meas = [], [], []
+    for i in range(1, F):
+        fi = f0 + i
+        if fi - 1 < len(m.rigid_motions):
+            odo_i.append(i - 1)
+            odo_j.append(i)
+            odo_meas.append(m.rigid_motions[fi - 1][0])
+    Eo = _bucket(len(odo_i))
+    g_odo_i = _pad(np.asarray(odo_i or [0], np.int32), Eo)
+    g_odo_j = _pad(np.asarray(odo_j or [0], np.int32), Eo)
+    g_odo_meas = _pad(
+        np.asarray(odo_meas or [np.eye(4)], dt).reshape(-1, 4, 4), Eo
+    )
+    g_odo_meas[len(odo_i):] = np.eye(4, dtype=dt)
+    g_odo_valid = np.arange(Eo) < len(odo_i)
+
+    # motion vertices: (frame i in [f0+1, f1), label) from rm_labels[i-1]
+    mot_index = {}
+    mot_T0, mot_keys = [], []
+    for i in range(1, F):
+        fi = f0 + i
+        if fi - 1 >= len(m.rm_labels):
+            continue
+        labels = m.rm_labels[fi - 1]
+        for j in range(1, len(labels)):
+            key = (i, labels[j])
+            mot_index[key] = len(mot_T0)
+            init = (
+                np.eye(4, dtype=dt)
+                if motion_init_identity
+                else m.rigid_motions[fi - 1][j].astype(dt)
+            )
+            mot_T0.append(init)
+            mot_keys.append(key)
+    M = _bucket(len(mot_T0))
+    g_mot_T0 = _pad(
+        np.asarray(mot_T0 or [np.eye(4)], dt).reshape(-1, 4, 4), M
+    )
+    g_mot_T0[len(mot_T0):] = np.eye(4, dtype=dt)
+    g_mot_valid = np.arange(M) < len(mot_T0)
+
+    # smoothness edges between same-label motions in consecutive frames
+    smo_i, smo_j = [], []
+    for (i, lab), idx in mot_index.items():
+        nxt = mot_index.get((i + 1, lab))
+        if nxt is not None:
+            smo_i.append(idx)
+            smo_j.append(nxt)
+    Es = _bucket(len(smo_i))
+    g_smo_i = _pad(np.asarray(smo_i or [0], np.int32), Es)
+    g_smo_j = _pad(np.asarray(smo_j or [0], np.int32), Es)
+    g_smo_valid = np.arange(Es) < len(smo_i)
+
+    # ---- static point tracks ----
+    sta_tracks = tk.build_tracklets(m.stat_asso[f0:f1])
+    Xs0, sp_cam, sp_pt, sp_meas = [], [], [], []
+    for tr in sta_tracks:
+        if len(tr) < min_track_len:
+            continue
+        pid = len(Xs0)
+        first = True
+        for (fi, j) in tr:
+            f_abs = f0 + fi
+            if not m.stat_valid[f_abs][j]:
+                continue
+            if first:
+                Xs0.append(m.stat_3d[f_abs][j])
+                first = False
+            sp_cam.append(fi)
+            sp_pt.append(pid)
+            sp_meas.append(
+                _backproject_np(
+                    K,
+                    m.stat_uv[f_abs][j],
+                    m.stat_depth[f_abs][j],
+                )
+            )
+        if first:
+            Xs0.append(np.zeros(3, dt))
+    Ps = _bucket(len(Xs0))
+    Esp = _bucket(len(sp_cam))
+    g_Xs0 = _pad(np.asarray(Xs0 or [np.zeros(3)], dt).reshape(-1, 3), Ps)
+    g_sp_cam = _pad(np.asarray(sp_cam or [0], np.int32), Esp)
+    g_sp_pt = _pad(np.asarray(sp_pt or [0], np.int32), Esp)
+    g_sp_meas = _pad(np.asarray(sp_meas or [np.zeros(3)], dt).reshape(-1, 3), Esp)
+    g_sp_valid = np.arange(Esp) < len(sp_cam)
+    g_Xs_valid = np.arange(Ps) < len(Xs0)
+
+    # ---- static line tracks ----
+    Ls_U0, Ls_w0, sl_cam, sl_line, sl_meas = [], [], [], [], []
+    if use_lines:
+        line_tracks = tk.build_tracklets(m.line_asso[f0:f1])
+        for tr in line_tracks:
+            if len(tr) < min_track_len:
+                continue
+            lid = len(Ls_U0)
+            first = True
+            for (fi, j) in tr:
+                f_abs = f0 + fi
+                if not m.line_valid[f_abs][j]:
+                    continue
+                if first:
+                    plk = m.line_plucker[f_abs][j]
+                    U, w = geometry.plucker_to_orthonormal(jnp.asarray(plk))
+                    Ls_U0.append(np.asarray(U))
+                    Ls_w0.append(np.asarray(w))
+                    first = False
+                uv4 = m.line_uv[f_abs][j]
+                d2 = m.line_depth[f_abs][j]
+                ms = _backproject_np(K, uv4[:2], d2[0])
+                me = _backproject_np(K, uv4[2:], d2[1])
+                sl_cam.append(fi)
+                sl_line.append(lid)
+                sl_meas.append(np.concatenate([ms, me]))
+            if first:
+                Ls_U0.append(np.eye(3, dtype=dt))
+                Ls_w0.append(np.array([1.0, 0.0], dt))
+    Pl = _bucket(len(Ls_U0))
+    Esl = _bucket(len(sl_cam))
+    g_Ls_U0 = _pad(
+        np.asarray(Ls_U0 or [np.eye(3)], dt).reshape(-1, 3, 3), Pl
+    )
+    g_Ls_U0[len(Ls_U0):] = np.eye(3, dtype=dt)
+    g_Ls_w0 = _pad(
+        np.asarray(Ls_w0 or [[1.0, 0.0]], dt).reshape(-1, 2), Pl
+    )
+    g_Ls_w0[len(Ls_w0):] = np.array([1.0, 0.0], dt)
+    g_sl_cam = _pad(np.asarray(sl_cam or [0], np.int32), Esl)
+    g_sl_line = _pad(np.asarray(sl_line or [0], np.int32), Esl)
+    g_sl_meas = _pad(
+        np.asarray(sl_meas or [np.zeros(6)], dt).reshape(-1, 6), Esl
+    )
+    g_sl_valid = np.arange(Esl) < len(sl_cam)
+    g_Ls_valid = np.arange(Pl) < len(Ls_U0)
+
+    # ---- dynamic point tracks: a vertex per observation ----
+    dyn_tracks, dyn_obj = tk.build_dynamic_tracklets(
+        m.dyn_asso[f0:f1], m.dyn_label[f0:f1]
+    )
+    Xd0, dp_cam, dp_pt, dp_meas = [], [], [], []
+    tern_prev, tern_cur, tern_mot = [], [], []
+    for tr, lab in zip(dyn_tracks, dyn_obj):
+        if len(tr) < min_track_len:
+            continue
+        prev_vid = None
+        prev_frame = None
+        for (fi, j) in tr:
+            f_abs = f0 + fi
+            if not m.dyn_valid[f_abs][j]:
+                prev_vid = None
+                continue
+            vid = len(Xd0)
+            Xd0.append(m.dyn_3d[f_abs][j])
+            dp_cam.append(fi)
+            dp_pt.append(vid)
+            dp_meas.append(
+                _backproject_np(K, m.dyn_uv[f_abs][j], m.dyn_depth[f_abs][j])
+            )
+            if prev_vid is not None and fi == prev_frame + 1:
+                mot = mot_index.get((fi, lab))
+                if mot is not None:
+                    tern_prev.append(prev_vid)
+                    tern_cur.append(vid)
+                    tern_mot.append(mot)
+            prev_vid = vid
+            prev_frame = fi
+    Pd = _bucket(len(Xd0))
+    Edp = _bucket(len(dp_cam))
+    Et = _bucket(len(tern_prev))
+    g_Xd0 = _pad(np.asarray(Xd0 or [np.zeros(3)], dt).reshape(-1, 3), Pd)
+    g_dp_cam = _pad(np.asarray(dp_cam or [0], np.int32), Edp)
+    g_dp_pt = _pad(np.asarray(dp_pt or [0], np.int32), Edp)
+    g_dp_meas = _pad(
+        np.asarray(dp_meas or [np.zeros(3)], dt).reshape(-1, 3), Edp
+    )
+    g_dp_valid = np.arange(Edp) < len(dp_cam)
+    g_Xd_valid = np.arange(Pd) < len(Xd0)
+    g_tern_prev = _pad(np.asarray(tern_prev or [0], np.int32), Et)
+    g_tern_cur = _pad(np.asarray(tern_cur or [0], np.int32), Et)
+    g_tern_mot = _pad(np.asarray(tern_mot or [0], np.int32), Et)
+    g_tern_valid = np.arange(Et) < len(tern_prev)
+
+    # ---- dynamic line tracks ----
+    Ld_U0, Ld_w0 = [], []
+    dl_cam, dl_line, dl_meas = [], [], []
+    ltern_prev, ltern_cur, ltern_mot = [], [], []
+    if use_lines:
+        dline_tracks, dline_obj = tk.build_dynamic_tracklets(
+            m.dline_asso[f0:f1], m.dline_label[f0:f1]
+        )
+        for tr, lab in zip(dline_tracks, dline_obj):
+            if len(tr) < min_track_len:
+                continue
+            prev_vid = None
+            prev_frame = None
+            for (fi, j) in tr:
+                f_abs = f0 + fi
+                if not m.dline_valid[f_abs][j]:
+                    prev_vid = None
+                    continue
+                vid = len(Ld_U0)
+                plk = m.dline_plucker[f_abs][j]
+                U, w = geometry.plucker_to_orthonormal(jnp.asarray(plk))
+                Ld_U0.append(np.asarray(U))
+                Ld_w0.append(np.asarray(w))
+                uv4 = m.dline_uv[f_abs][j]
+                d2 = m.dline_depth[f_abs][j]
+                ms = _backproject_np(K, uv4[:2], d2[0])
+                me = _backproject_np(K, uv4[2:], d2[1])
+                dl_cam.append(fi)
+                dl_line.append(vid)
+                dl_meas.append(np.concatenate([ms, me]))
+                if prev_vid is not None and fi == prev_frame + 1:
+                    mot = mot_index.get((fi, lab))
+                    if mot is not None:
+                        ltern_prev.append(prev_vid)
+                        ltern_cur.append(vid)
+                        ltern_mot.append(mot)
+                prev_vid = vid
+                prev_frame = fi
+    Pld = _bucket(len(Ld_U0))
+    Edl = _bucket(len(dl_cam))
+    Elt = _bucket(len(ltern_prev))
+    g_Ld_U0 = _pad(
+        np.asarray(Ld_U0 or [np.eye(3)], dt).reshape(-1, 3, 3), Pld
+    )
+    g_Ld_U0[len(Ld_U0):] = np.eye(3, dtype=dt)
+    g_Ld_w0 = _pad(
+        np.asarray(Ld_w0 or [[1.0, 0.0]], dt).reshape(-1, 2), Pld
+    )
+    g_Ld_w0[len(Ld_w0):] = np.array([1.0, 0.0], dt)
+    g_dl_cam = _pad(np.asarray(dl_cam or [0], np.int32), Edl)
+    g_dl_line = _pad(np.asarray(dl_line or [0], np.int32), Edl)
+    g_dl_meas = _pad(
+        np.asarray(dl_meas or [np.zeros(6)], dt).reshape(-1, 6), Edl
+    )
+    g_dl_valid = np.arange(Edl) < len(dl_cam)
+    g_Ld_valid = np.arange(Pld) < len(Ld_U0)
+    g_ltern_prev = _pad(np.asarray(ltern_prev or [0], np.int32), Elt)
+    g_ltern_cur = _pad(np.asarray(ltern_cur or [0], np.int32), Elt)
+    g_ltern_mot = _pad(np.asarray(ltern_mot or [0], np.int32), Elt)
+    g_ltern_valid = np.arange(Elt) < len(ltern_prev)
+
+    graph = bb.BAGraph(
+        cam_T0=jnp.asarray(cam_T0),
+        cam_valid=jnp.ones(F, bool),
+        prior_frame=jnp.asarray(0, jnp.int32),
+        prior_meas=jnp.asarray(cam_T0[0]),
+        prior_info=jnp.asarray(prior_info, jnp.float32),
+        odo_i=jnp.asarray(g_odo_i), odo_j=jnp.asarray(g_odo_j),
+        odo_meas=jnp.asarray(g_odo_meas), odo_valid=jnp.asarray(g_odo_valid),
+        mot_T0=jnp.asarray(g_mot_T0), mot_valid=jnp.asarray(g_mot_valid),
+        smo_i=jnp.asarray(g_smo_i), smo_j=jnp.asarray(g_smo_j),
+        smo_valid=jnp.asarray(g_smo_valid),
+        Xs0=jnp.asarray(g_Xs0), Xs_valid=jnp.asarray(g_Xs_valid),
+        sp_cam=jnp.asarray(g_sp_cam), sp_pt=jnp.asarray(g_sp_pt),
+        sp_meas=jnp.asarray(g_sp_meas), sp_valid=jnp.asarray(g_sp_valid),
+        Ls_U0=jnp.asarray(g_Ls_U0), Ls_w0=jnp.asarray(g_Ls_w0),
+        Ls_valid=jnp.asarray(g_Ls_valid),
+        sl_cam=jnp.asarray(g_sl_cam), sl_line=jnp.asarray(g_sl_line),
+        sl_meas=jnp.asarray(g_sl_meas), sl_valid=jnp.asarray(g_sl_valid),
+        Xd0=jnp.asarray(g_Xd0), Xd_valid=jnp.asarray(g_Xd_valid),
+        dp_cam=jnp.asarray(g_dp_cam), dp_pt=jnp.asarray(g_dp_pt),
+        dp_meas=jnp.asarray(g_dp_meas), dp_valid=jnp.asarray(g_dp_valid),
+        tern_prev=jnp.asarray(g_tern_prev), tern_cur=jnp.asarray(g_tern_cur),
+        tern_mot=jnp.asarray(g_tern_mot), tern_valid=jnp.asarray(g_tern_valid),
+        Ld_U0=jnp.asarray(g_Ld_U0), Ld_w0=jnp.asarray(g_Ld_w0),
+        Ld_valid=jnp.asarray(g_Ld_valid),
+        dl_cam=jnp.asarray(g_dl_cam), dl_line=jnp.asarray(g_dl_line),
+        dl_meas=jnp.asarray(g_dl_meas), dl_valid=jnp.asarray(g_dl_valid),
+        ltern_prev=jnp.asarray(g_ltern_prev),
+        ltern_cur=jnp.asarray(g_ltern_cur),
+        ltern_mot=jnp.asarray(g_ltern_mot),
+        ltern_valid=jnp.asarray(g_ltern_valid),
+    )
+    meta = dict(f0=f0, f1=f1, mot_keys=mot_keys, n_mot=len(mot_T0))
+    return graph, meta
+
+
+def _weights_from_cfg(cfg) -> bb.BAWeights:
+    if cfg is None:
+        return bb.BAWeights()
+    return bb.BAWeights(
+        sigma2_cam=cfg.ba_sigma_camera,
+        sigma2_3d_sta=cfg.ba_sigma_3d_static,
+        sigma2_obj_smo=cfg.ba_sigma_smooth,
+        sigma2_obj=cfg.ba_sigma_motion,
+        sigma2_3d_dyn=cfg.ba_sigma_3d_dynamic,
+    )
+
+
+def _write_back(map_state, state, meta, refined: bool):
+    """Write optimized poses/motions back (Optimizer.cc:1074-1104 partial
+    into primary fields; :5618-5736 full into *_RF)."""
+    m = map_state
+    f0, f1 = meta["f0"], meta["f1"]
+    cam = np.asarray(state.cam_T)
+    poses = m.camera_poses_rf if refined else m.camera_poses
+    for i in range(f1 - f0):
+        poses[f0 + i] = cam[i].astype(np.float32)
+    motions = m.rigid_motions_rf if refined else m.rigid_motions
+    # camera inter-frame motion recomputed from refined poses (:1079)
+    for i in range(1, f1 - f0):
+        fi = f0 + i
+        if fi - 1 < len(motions):
+            motions[fi - 1][0] = (
+                np.linalg.inv(poses[fi - 1]) @ poses[fi]
+            ).astype(np.float32)
+    mot = np.asarray(state.mot_T)
+    for idx, (i, lab) in enumerate(meta["mot_keys"]):
+        fi = f0 + i
+        if fi - 1 >= len(motions):
+            continue
+        labels = m.rm_labels[fi - 1]
+        for j in range(1, len(labels)):
+            if labels[j] == lab:
+                motions[fi - 1][j] = mot[idx].astype(np.float32)
+                break
+
+
+def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
+                            use_lines: bool = True, verbose: bool = False):
+    """FullBatchOptimizationWithLines over the whole sequence."""
+    w = _weights_from_cfg(cfg)
+    graph, meta = build_graph(
+        map_state, K, 0, map_state.n_frames,
+        min_track_len=(cfg.ba_tracklet_min_len if cfg else 3),
+        motion_init_identity=True, prior_info=1e5, use_lines=use_lines,
+    )
+    state, cost = bb.run_ba(graph, w, verbose=verbose)
+    _write_back(map_state, state, meta, refined=True)
+    return cost
+
+
+def partial_batch_optimization(map_state, K: Intrinsics, window: int,
+                               cfg=None, use_lines: bool = True,
+                               verbose: bool = False):
+    """PartialBatchOptimizationWithLines over the last ``window`` frames."""
+    w = _weights_from_cfg(cfg)
+    f1 = map_state.n_frames
+    f0 = max(0, f1 - window)
+    graph, meta = build_graph(
+        map_state, K, f0, f1,
+        min_track_len=(cfg.ba_tracklet_min_len if cfg else 3),
+        motion_init_identity=False, prior_info=1e7,   # I/1e-7, :1463
+        use_lines=use_lines,
+    )
+    state, cost = bb.run_ba(graph, w, max_iters=10, verbose=verbose)
+    _write_back(map_state, state, meta, refined=False)
+    # refined trajectory starts from the locally-refined primary one
+    for i in range(f0, f1):
+        map_state.camera_poses_rf[i] = map_state.camera_poses[i].copy()
+    return cost

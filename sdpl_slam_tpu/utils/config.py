@@ -112,6 +112,8 @@ class Settings:
     ba_local_iterations: int = 100    # partial optimize(100), Optimizer.cc:2462
     ba_global_iterations: int = 300   # full optimize(300), Optimizer.cc:5337
     ba_gain_threshold: float = 1e-4   # termination, Optimizer.cc:4004
+    run_local_ba: bool = True         # bLocalBatch, Tracking.cc:1793
+    run_global_ba: Optional[bool] = None  # None = KITTI only (Tracking.cc:1870)
 
     # --- Solver capacity (static shapes; fixed caps are the reference's own) ---
     max_objects: int = 16             # max simultaneously tracked objects

@@ -139,7 +139,8 @@ class SynthSequence:
         uv_next = project(T_cw_next, X_w)
         flow = uv_next - np.stack([us, vs], -1)
 
-        # --- objects: axis-aligned boxes (fronto-parallel faces) ---
+        # --- objects: world-space box front faces (exact ray-plane hits, so
+        # depth/flow/mask stay rigid-consistent under camera rotation) ---
         obj_rows = []
         for k in range(cfg.n_objects):
             L_w = _obj_pose(cfg, k, t).astype(np.float64)
@@ -148,28 +149,25 @@ class SynthSequence:
             if centre_c[2] < 2.0:
                 continue
             half = np.array([1.0, 0.8, 0.8])
-            # project the front face (z_c = centre-z - half_z) as a rect
-            zf = centre_c[2] - half[2]
-            u0 = cfg.fx * (centre_c[0] - half[0]) / zf + cfg.cx
-            u1 = cfg.fx * (centre_c[0] + half[0]) / zf + cfg.cx
-            v0 = cfg.fy * (centre_c[1] - half[1]) / zf + cfg.cy
-            v1 = cfg.fy * (centre_c[1] + half[1]) / zf + cfg.cy
-            iu0, iu1 = int(max(u0, 0)), int(min(u1, W - 1))
-            iv0, iv1 = int(max(v0, 0)), int(min(v1, H - 1))
-            if iu1 <= iu0 or iv1 <= iv0:
+            c_w = L_w[:3, 3]
+            zf_w = c_w[2] - half[2]          # face plane z_w = const
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s_face = (zf_w - o[2]) / d[..., 2]
+            X_face = o + d * s_face[..., None]
+            sel = (
+                (s_face > 0.5)
+                & (np.abs(X_face[..., 0] - c_w[0]) <= half[0])
+                & (np.abs(X_face[..., 1] - c_w[1]) <= half[1])
+                & (s_face < t_hit)           # in front of the background
+            )
+            if sel.sum() < 20:
                 continue
-            sel = np.zeros((H, W), bool)
-            sel[iv0:iv1 + 1, iu0:iu1 + 1] = True
-            # depth of the fronto-parallel face
-            depth = np.where(sel, zf, depth)
+            # camera-frame depth of the hit: rays have unit z in cam frame
+            depth = np.where(sel, s_face, depth)
             mask = np.where(sel, k + 1, mask)
-            # object-point flow: X on the face moves rigidly with the object
-            ru = (us - cfg.cx) / cfg.fx * zf
-            rv = (vs - cfg.cy) / cfg.fy * zf
-            X_c_face = np.stack([ru, rv, np.full_like(ru, zf)], -1)
-            X_w_face = X_c_face @ T_wc[:3, :3].T + T_wc[:3, 3]
+            # the face point moves rigidly with the object
             H_w = L_w_next @ np.linalg.inv(L_w)   # world-frame object motion
-            X_w_moved = X_w_face @ H_w[:3, :3].T + H_w[:3, 3]
+            X_w_moved = X_face @ H_w[:3, :3].T + H_w[:3, 3]
             uv_obj_next = project(T_cw_next, X_w_moved)
             flow = np.where(
                 sel[..., None], uv_obj_next - np.stack([us, vs], -1), flow
@@ -275,6 +273,7 @@ def synth_settings(cfg: SynthConfig) -> "Settings":
     s.max_objects = 4
     s.sf_mg_thres = 0.12
     s.sf_ds_thres = 0.3
+    s.use_sample_fea = 1     # grid-sampled background features (deterministic)
     s.window_size = 5
     s.overlap_size = 2
     s.min_object_points = 50
