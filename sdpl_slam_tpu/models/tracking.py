@@ -432,6 +432,11 @@ class Tracking:
         else:
             cand = np.asarray(fr.grid_sample_uv(h, w, n_points=self.N_CAND))
             cand_valid = np.ones(self.N_CAND, bool)
+        if line_detections is None and cfg.use_lines:
+            # run the tiled line detector (LSD/EDLines equivalent)
+            from ..ops import lines as line_ops
+
+            line_detections = line_ops.detect_lines_np(jnp.asarray(gray))
         lcand = np.zeros((self.NL_CAND, 4), np.float32)
         lcand_valid = np.zeros(self.NL_CAND, bool)
         if line_detections is not None and len(line_detections):

@@ -1,0 +1,339 @@
+"""Line-segment detection: the LSD / EDLines replacement.
+
+The reference detects lines with LSD (region growing over level-lines) or
+EDLines (edge drawing) inside 3rdparty/line_descriptor
+(/root/reference/src/Lineextractor.cc:47-135).  Both are inherently
+sequential, data-dependent region-growers -- the known-hard kernel for TPU
+(SURVEY.md 7.3).  This module uses a block-parallel reformulation:
+
+ 1. Sobel gradients -> magnitude + level-line orientation (mod pi).
+ 2. Edge mask: magnitude threshold + thin non-maximum suppression.
+ 3. The image is tiled; each tile fits a straight segment to its edge
+    pixels by weighted PCA (first/second moments -> principal direction,
+    extent = min/max projection).  A tile emits a segment only when it has
+    enough edge support and the orientation is coherent (anisotropy test).
+ 4. Collinear merge rounds: neighbouring tiles' segments that are aligned
+    (angle, lateral offset, endpoint gap) are merged into longer segments.
+    Each round at most doubles segment length; a few rounds recover long
+    structure lines.  All rounds are fixed-shape vectorized ops.
+
+Output format matches the pipeline contract: (L, 4) endpoint arrays
+(sx, sy, ex, ey) + validity, like the injected detections consumed by
+``Tracking.grab_rgbd``.  LBD descriptors are intentionally not computed:
+the reference computes them but matches lines by optical flow, never by
+descriptor (SURVEY.md section 2.1 Lineextractor row).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class LineDetectConfig(NamedTuple):
+    grad_threshold: float = 30.0     # ~2*5.2 quantization of LSD (q=2)
+    tile: int = 16
+    min_support: int = 10            # edge pixels per tile
+    min_anisotropy: float = 12.0     # lambda1/lambda2 of the scatter matrix
+    merge_rounds: int = 4
+    merge_angle_cos: float = 0.985   # ~10 deg
+    merge_lateral: float = 2.5       # px
+    merge_gap: float = 8.0           # px
+    min_length: float = 12.0         # final length gate
+    max_lines: int = 512
+
+
+def _sobel(img: jnp.ndarray):
+    img = img.astype(jnp.float32)
+    p = jnp.pad(img, 1, mode="edge")
+    # 3x3 Sobel
+    gx = (
+        (p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+        - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])
+    )
+    gy = (
+        (p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+        - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])
+    )
+    return gx, gy
+
+
+def _thin_edges(mag: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
+                threshold: float):
+    """Gradient-direction NMS (quantized to 4 directions)."""
+    h, w = mag.shape
+    p = jnp.pad(mag, 1)
+    c = p[1:-1, 1:-1]
+    n = {
+        "e": p[1:-1, 2:], "w": p[1:-1, :-2],
+        "s": p[2:, 1:-1], "n": p[:-2, 1:-1],
+        "se": p[2:, 2:], "nw": p[:-2, :-2],
+        "ne": p[:-2, 2:], "sw": p[2:, :-2],
+    }
+    ax, ay = jnp.abs(gx), jnp.abs(gy)
+    diag = (ax > 0.4142 * ay) & (ay > 0.4142 * ax)
+    same_sign = (gx * gy) > 0
+    horiz = (ax >= ay) & ~diag          # gradient mostly x -> compare e/w
+    vert = (ay > ax) & ~diag
+    keep = jnp.where(
+        horiz, (c >= n["e"]) & (c >= n["w"]),
+        jnp.where(
+            vert, (c >= n["s"]) & (c >= n["n"]),
+            jnp.where(
+                same_sign,
+                (c >= n["se"]) & (c >= n["nw"]),
+                (c >= n["ne"]) & (c >= n["sw"]),
+            ),
+        ),
+    )
+    return keep & (mag > threshold)
+
+
+class Segments(NamedTuple):
+    uv4: jnp.ndarray      # (N, 4) sx, sy, ex, ey
+    length: jnp.ndarray   # (N,)
+    valid: jnp.ndarray    # (N,)
+
+
+def _tile_fit(edge: jnp.ndarray, mag: jnp.ndarray, tile: int,
+              min_support: int, min_anisotropy: float):
+    """Weighted-PCA segment fit per tile.  Returns per-tile segment grid
+    (gh, gw, 4) + validity."""
+    h, w = edge.shape
+    gh, gw = h // tile, w // tile
+    e = edge[: gh * tile, : gw * tile].astype(jnp.float32)
+    m = mag[: gh * tile, : gw * tile] * e
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (gh * tile, gw * tile), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (gh * tile, gw * tile), 1)
+
+    def tiles(a):
+        return (
+            a.reshape(gh, tile, gw, tile).transpose(0, 2, 1, 3)
+            .reshape(gh, gw, tile * tile)
+        )
+
+    wgt = tiles(m)
+    tx = tiles(xs)
+    ty = tiles(ys)
+    wsum = jnp.sum(wgt, -1)
+    wsafe = jnp.maximum(wsum, 1e-6)
+    mx = jnp.sum(wgt * tx, -1) / wsafe
+    my = jnp.sum(wgt * ty, -1) / wsafe
+    dx = tx - mx[..., None]
+    dy = ty - my[..., None]
+    sxx = jnp.sum(wgt * dx * dx, -1) / wsafe
+    syy = jnp.sum(wgt * dy * dy, -1) / wsafe
+    sxy = jnp.sum(wgt * dx * dy, -1) / wsafe
+    # eigen of [[sxx, sxy], [sxy, syy]]
+    tr = sxx + syy
+    det = sxx * syy - sxy * sxy
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 0.0))
+    l1 = tr / 2 + disc
+    l2 = tr / 2 - disc
+    # principal direction: eigenvector of lambda1; when sxy ~ 0 the axes
+    # are already principal -- pick the larger-variance axis
+    off = jnp.abs(sxy) > 1e-9
+    vx = jnp.where(off, l1 - syy, jnp.where(sxx >= syy, 1.0, 0.0))
+    vy = jnp.where(off, sxy, jnp.where(sxx >= syy, 0.0, 1.0))
+    vn = jnp.sqrt(vx * vx + vy * vy + 1e-12)
+    vx, vy = vx / vn, vy / vn
+    # extent: min/max projection of edge pixels on v
+    proj = dx * vx[..., None] + dy * vy[..., None]
+    pmax = jnp.max(jnp.where(wgt > 0, proj, -1e9), -1)
+    pmin = jnp.min(jnp.where(wgt > 0, proj, 1e9), -1)
+    count = jnp.sum(tiles(e), -1)
+    aniso = l1 / jnp.maximum(l2, 1e-6)
+    ok = (count >= min_support) & (aniso >= min_anisotropy) & (pmax > pmin)
+    s = jnp.stack(
+        [mx + pmin * vx, my + pmin * vy, mx + pmax * vx, my + pmax * vy],
+        axis=-1,
+    )
+    return s, ok
+
+
+def _merge_pairs(seg, ok, nbr_seg, nbr_ok, cfg: LineDetectConfig,
+                 allow=None):
+    """Try to merge each tile's segment with a neighbour's.  Returns merged
+    segment + merged flag (applied where both exist and are collinear)."""
+    d1 = seg[..., 2:] - seg[..., :2]
+    d2 = nbr_seg[..., 2:] - nbr_seg[..., :2]
+    l1 = jnp.linalg.norm(d1, axis=-1) + 1e-9
+    l2 = jnp.linalg.norm(d2, axis=-1) + 1e-9
+    cosang = jnp.abs(jnp.sum(d1 * d2, -1)) / (l1 * l2)
+    # lateral offset of neighbour's midpoint from our infinite line
+    mid2 = 0.5 * (nbr_seg[..., :2] + nbr_seg[..., 2:])
+    n1 = jnp.stack([-d1[..., 1], d1[..., 0]], -1) / l1[..., None]
+    lat = jnp.abs(jnp.sum((mid2 - seg[..., :2]) * n1, -1))
+    # endpoint gap: smallest distance between endpoints
+    gaps = jnp.stack([
+        jnp.linalg.norm(seg[..., 2:] - nbr_seg[..., :2], axis=-1),
+        jnp.linalg.norm(seg[..., :2] - nbr_seg[..., 2:], axis=-1),
+        jnp.linalg.norm(seg[..., 2:] - nbr_seg[..., 2:], axis=-1),
+        jnp.linalg.norm(seg[..., :2] - nbr_seg[..., :2], axis=-1),
+    ], -1).min(-1)
+    can = (
+        ok & nbr_ok
+        & (cosang > cfg.merge_angle_cos)
+        & (lat < cfg.merge_lateral)
+        & (gaps < cfg.merge_gap)
+    )
+    if allow is not None:
+        can = can & allow
+    # merged endpoints: extreme projections of all 4 endpoints on d1
+    pts = jnp.stack(
+        [seg[..., :2], seg[..., 2:], nbr_seg[..., :2], nbr_seg[..., 2:]], -2
+    )                                              # (..., 4, 2)
+    u1 = d1 / l1[..., None]
+    t = jnp.sum((pts - seg[..., None, :2]) * u1[..., None, :], -1)
+    tmin = jnp.min(t, -1)
+    tmax = jnp.max(t, -1)
+    new_s = seg[..., :2] + tmin[..., None] * u1
+    new_e = seg[..., :2] + tmax[..., None] * u1
+    merged = jnp.concatenate([new_s, new_e], -1)
+    return jnp.where(can[..., None], merged, seg), can
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_lines(img: jnp.ndarray,
+                 cfg: LineDetectConfig = LineDetectConfig()) -> Segments:
+    """Detect line segments; returns fixed-cap (max_lines, 4) + validity."""
+    gx, gy = _sobel(img)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    edge = _thin_edges(mag, gx, gy, cfg.grad_threshold)
+    seg, ok = _tile_fit(edge, mag, cfg.tile, cfg.min_support,
+                        cfg.min_anisotropy)
+
+    # merge rounds over 4 neighbour directions (right, down, down-right,
+    # down-left).  Round r looks at stride 2^r (parallel-reduction style:
+    # surviving merged segments live in the 'left' tile, so chains double
+    # in reach each round).  Consumed neighbours are invalidated.
+    gh, gw = ok.shape
+    for rnd in range(cfg.merge_rounds):
+        stride = 1 << rnd
+        for (dy0, dx0) in ((0, 1), (1, 0), (1, 1), (1, -1)):
+            dy, dx = dy0 * stride, dx0 * stride
+            if abs(dy) >= gh or abs(dx) >= gw:
+                continue
+            nbr = jnp.roll(seg, (-dy, -dx), axis=(0, 1))
+            nbr_ok = jnp.roll(ok, (-dy, -dx), axis=(0, 1))
+            # edge tiles must not wrap
+            row_ok = (
+                jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0) < gh - dy
+            )
+            if dx >= 0:
+                col_ok = (
+                    jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1) < gw - dx
+                )
+            else:
+                col_ok = (
+                    jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1) >= -dx
+                )
+            nbr_ok = nbr_ok & row_ok & col_ok
+            # parity-disjoint absorbers: a tile may absorb its neighbour
+            # only on the even slot of this round's stride, so nothing is
+            # simultaneously absorbed and extended (parallel reduction)
+            if dx0 != 0:
+                idx = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1)
+            else:
+                idx = jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0)
+            allow = ((idx // stride) % 2) == 0
+            seg, did = _merge_pairs(seg, ok, nbr, nbr_ok, cfg, allow)
+            # invalidate consumed neighbours
+            consumed = jnp.roll(did, (dy, dx), axis=(0, 1))
+            shifted_back_ok = (
+                jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 0) >= dy
+            )
+            if dx >= 0:
+                shifted_back_ok &= (
+                    jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1) >= dx
+                )
+            else:
+                shifted_back_ok &= (
+                    jax.lax.broadcasted_iota(jnp.int32, (gh, gw), 1) < gw + dx
+                )
+            ok = ok & ~(consumed & shifted_back_ok)
+
+    flat = seg.reshape(-1, 4)
+    length = jnp.linalg.norm(flat[:, 2:] - flat[:, :2], axis=-1)
+    valid = ok.reshape(-1) & (length >= 0.5 * cfg.min_length)
+    # keep the longest max_lines
+    score = jnp.where(valid, length, -1.0)
+    top = jax.lax.top_k(score, min(cfg.max_lines, score.shape[0]))[1]
+    return Segments(
+        uv4=flat[top], length=length[top],
+        valid=valid[top],
+    )
+
+
+def merge_segments_np(uv4, valid, cfg: LineDetectConfig = LineDetectConfig()):
+    """Final greedy collinear merge on host (the fragments from the tiled
+    device stage are few; K<=max_lines).  Returns (uv4, valid) numpy."""
+    import numpy as np
+
+    segs = np.asarray(uv4)[np.asarray(valid)].astype(np.float64)
+    if len(segs) == 0:
+        return segs.astype(np.float32), np.zeros(0, bool)
+    order = np.argsort(
+        -np.linalg.norm(segs[:, 2:] - segs[:, :2], axis=1)
+    )
+    segs = segs[order]
+    alive = np.ones(len(segs), bool)
+    for i in range(len(segs)):
+        if not alive[i]:
+            continue
+        changed = True
+        while changed:
+            changed = False
+            d1 = segs[i, 2:] - segs[i, :2]
+            l1 = np.linalg.norm(d1) + 1e-9
+            u1 = d1 / l1
+            n1 = np.array([-u1[1], u1[0]])
+            cand = np.nonzero(alive)[0]
+            cand = cand[cand != i]
+            if not len(cand):
+                break
+            c = segs[cand]
+            d2 = c[:, 2:] - c[:, :2]
+            l2 = np.linalg.norm(d2, axis=1) + 1e-9
+            cosang = np.abs(d2 @ u1) / l2
+            mid2 = 0.5 * (c[:, :2] + c[:, 2:])
+            lat = np.abs((mid2 - segs[i, :2]) @ n1)
+            t_lo = np.minimum((c[:, :2] - segs[i, :2]) @ u1,
+                              (c[:, 2:] - segs[i, :2]) @ u1)
+            t_hi = np.maximum((c[:, :2] - segs[i, :2]) @ u1,
+                              (c[:, 2:] - segs[i, :2]) @ u1)
+            gap = np.maximum(t_lo - l1, -t_hi)
+            can = (
+                (cosang > cfg.merge_angle_cos)
+                & (lat < cfg.merge_lateral)
+                & (gap < cfg.merge_gap)
+            )
+            for j in cand[can]:
+                # recompute the current extent each absorb (it grows)
+                cur_len = np.linalg.norm(segs[i, 2:] - segs[i, :2])
+                t0 = (segs[j, :2] - segs[i, :2]) @ u1
+                t1 = (segs[j, 2:] - segs[i, :2]) @ u1
+                lo = min(0.0, t0, t1)
+                hi = max(cur_len, t0, t1)
+                segs[i, :2] = segs[i, :2] + lo * u1
+                segs[i, 2:] = segs[i, :2] + (hi - lo) * u1
+                alive[j] = False
+                changed = True
+    out = segs[alive].astype(np.float32)
+    length = np.linalg.norm(out[:, 2:] - out[:, :2], axis=1)
+    keep = length >= cfg.min_length
+    return out[keep], np.ones(int(keep.sum()), bool)
+
+
+def detect_lines_np(img, cfg: LineDetectConfig = LineDetectConfig()):
+    """Device detection + host final merge -> numpy (L, 4) detections, the
+    form consumed by Tracking.grab_rgbd."""
+    segs = detect_lines(img, cfg)
+    uv4, valid = merge_segments_np(segs.uv4, segs.valid, cfg)
+    return uv4
