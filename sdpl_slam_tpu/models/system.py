@@ -67,12 +67,27 @@ class System:
             point_detections=point_detections,
         )
 
-    def save_results(self, out_dir: str | Path) -> None:
+    def save_results(self, out_dir: str | Path, plots: bool = False) -> None:
         """Write the 7 result txt files + timing summary
-        (System::SaveResults, System.cc:66-244)."""
+        (System::SaveResults, System.cc:66-244), the Metrix_error.txt
+        appends, tracklet histograms, and (optionally) the PlotMetricError
+        PNG equivalents."""
+        from ..utils import plotting
+
         print("Saving Results into TXT File...")
         writers.save_results(out_dir, self.map)
         print(writers.format_timing_summary(self.map))
+        out = Path(out_dir)
+        metrics.write_metric_error(self.map, out / "Metrix_error.txt")
+        metrics.write_metric_error(
+            self.map, out / "Metrix_error.txt", refined=True
+        )
+        plotting.write_tracklet_histograms(self.map, out)
+        if plots:
+            plotting.plot_metric_error(self.map, out)
 
     def metric_error(self, refined: bool = False) -> str:
         return metrics.metric_error_report(self.map, refined=refined)
+
+    def velocity_error(self):
+        return metrics.velocity_error(self.map)

@@ -144,6 +144,147 @@ def _line_residual_intended(dxi, g, obs4, Xw_s, Xw_e, K, T):
     )
 
 
+def inject_depth_noise(key: jax.Array, z: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian depth-noise injection used by the non-joint solvers when
+    ``addnoise=1`` (Frame::UnprojectStereoStat, /root/reference/src/
+    Frame.cc:1140-1150): sigma = z^2 / (725 * 0.5) * 0.15."""
+    sigma = z * z / (725.0 * 0.5) * 0.15
+    return z + sigma * jax.random.normal(key, z.shape, z.dtype)
+
+
+class PoseOnlyResult(NamedTuple):
+    pose: jnp.ndarray
+    point_inlier: jnp.ndarray
+    line_inlier: jnp.ndarray
+    final_cost: jnp.ndarray
+
+
+def solve_pose_only(
+    T_init: jnp.ndarray,
+    X_w: jnp.ndarray,          # (N, 3) fixed 3D (world) from the last frame
+    obs_uv: jnp.ndarray,       # (N, 2) CURRENT 2D observations
+    valid: jnp.ndarray,
+    line_Xs: jnp.ndarray,      # (M, 3) line endpoint 3D (world)
+    line_Xe: jnp.ndarray,
+    line_coeffs: jnp.ndarray,  # (M, 3) measured infinite-line coefficients
+    line_valid: jnp.ndarray,
+    K: Intrinsics,
+    rp_thres: float = 0.01,
+    line_weight_thr: int = 50,
+    use_lines: bool = True,
+) -> PoseOnlyResult:
+    """``PoseOptimizationNew(WithLines)`` / ``PoseOptimizationObjMot...``
+    (/root/reference/src/Optimizer.cc:5742/:5900/:6843/:7055): pose-only
+    (or motion-only) LM on fixed 3D structure.
+
+    Residuals: r_p = obs - pi(T X_w) (info I, Huber sqrt(rp_thres));
+    r_l = [l . h(pi(T Xs)), l . h(pi(T Xe))] with the measured current
+    infinite line l (info I, Huber sqrt(W*7.815), W = 2^-(n//50)).
+    Four gating rounds of {100,10,10,10} iterations with chi2 thresholds
+    {rp_thres, 5.991, 5.991, 5.991} (Optimizer.cc:5832,6080); outliers are
+    excluded per round and may re-enter.
+    """
+    dtype = X_w.dtype
+    n_valid0 = jnp.sum(valid.astype(jnp.int32))
+    weight = jnp.power(
+        2.0, -(n_valid0 // line_weight_thr).astype(dtype)
+    )
+    delta_line = jnp.sqrt(weight * 7.815)
+    delta_mono = jnp.asarray(jnp.sqrt(rp_thres), dtype)
+    lvalid0 = line_valid & jnp.asarray(use_lines)
+
+    def residuals(T):
+        xyz = lie.transform_point(T, X_w)
+        r_p = obs_uv - geometry.project(K, xyz)
+        chi2_p = jnp.sum(r_p * r_p, axis=-1)
+        ps = geometry.project(K, lie.transform_point(T, line_Xs))
+        pe = geometry.project(K, lie.transform_point(T, line_Xe))
+        r_l = jnp.stack(
+            [
+                geometry.point_to_image_line(ps, line_coeffs),
+                geometry.point_to_image_line(pe, line_coeffs),
+            ],
+            axis=-1,
+        )
+        r_l = jnp.nan_to_num(r_l)
+        chi2_l = jnp.sum(r_l * r_l, axis=-1)
+        return r_p, chi2_p, r_l, chi2_l, xyz
+
+    def lm_round(T, active_p, active_l, iters):
+        pv = (valid & active_p).astype(dtype)
+        lv = (lvalid0 & active_l).astype(dtype)
+
+        def cost_fn(Tc):
+            r_p, chi2_p, r_l, chi2_l, _ = residuals(Tc)
+            return (
+                jnp.sum(pv * _huber_rho(chi2_p, delta_mono))
+                + jnp.sum(lv * _huber_rho(chi2_l, delta_line))
+            )
+
+        def line_res_fn(dxi, Tc):
+            T2 = lie.se3_exp(dxi) @ Tc
+            ps = geometry.project(K, lie.transform_point(T2, line_Xs))
+            pe = geometry.project(K, lie.transform_point(T2, line_Xe))
+            return jnp.stack(
+                [
+                    geometry.point_to_image_line(ps, line_coeffs),
+                    geometry.point_to_image_line(pe, line_coeffs),
+                ],
+                axis=-1,
+            )
+
+        def body(state, _):
+            T, lam, nu, cost = state
+            r_p, chi2_p, r_l, chi2_l, xyz = residuals(T)
+            w_p = pv * _huber_weight(chi2_p, delta_mono)
+            w_l = lv * _huber_weight(chi2_l, delta_line)
+            Jp = _point_proj_jacobian(xyz, K.fx, K.fy)
+            # r_p = obs - pi: same sign convention as the flow edge
+            Jl = jax.jacfwd(line_res_fn)(jnp.zeros(6, dtype), T)
+            Jl = jnp.nan_to_num(Jl)                        # (M, 2, 6)
+            H = (
+                jnp.einsum("nki,nkj,n->ij", Jp, Jp, w_p, precision=_HI)
+                + jnp.einsum("mki,mkj,m->ij", Jl, Jl, w_l, precision=_HI)
+            )
+            b = -(
+                jnp.einsum("nki,nk,n->i", Jp, r_p, w_p, precision=_HI)
+                + jnp.einsum("mki,mk,m->i", Jl, r_l, w_l, precision=_HI)
+            )
+            dxi = jnp.linalg.solve(H + lam * jnp.eye(6, dtype=dtype), b)
+            T_new = lie.se3_retract(T, dxi)
+            new_cost = cost_fn(T_new)
+            accept = (new_cost < cost) & jnp.isfinite(new_cost)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            return (
+                jnp.where(accept, T_new, T),
+                lam, nu,
+                jnp.where(accept, new_cost, cost),
+            ), None
+
+        state0 = (T, jnp.asarray(1e-4, dtype), jnp.asarray(2.0, dtype),
+                  cost_fn(T))
+        (T, _, _, cost), _ = jax.lax.scan(body, state0, None, length=iters)
+        return T, cost
+
+    T = T_init
+    chi2_gate = [rp_thres, 5.991, 5.991, 5.991]
+    its = [100, 10, 10, 10]
+    active_p = jnp.ones_like(valid)
+    active_l = jnp.ones_like(line_valid)
+    cost = jnp.asarray(0.0, dtype)
+    for rnd in range(4):
+        T, cost = lm_round(T, active_p, active_l, its[rnd])
+        _, chi2_p, _, chi2_l, _ = residuals(T)
+        active_p = chi2_p <= chi2_gate[rnd]
+        active_l = chi2_l <= weight * 7.815
+    return PoseOnlyResult(
+        pose=T,
+        point_inlier=valid & active_p,
+        line_inlier=lvalid0 & active_l,
+        final_cost=cost,
+    )
+
+
 class _LMState(NamedTuple):
     T: jnp.ndarray
     f: jnp.ndarray

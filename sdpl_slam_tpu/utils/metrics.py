@@ -82,6 +82,74 @@ def object_motion_error(
     return overall_t, overall_r, per
 
 
+def velocity_error(map_state) -> Tuple[float, float, Dict[int, Tuple[float, float, int]]]:
+    """``GetVelocityError`` (/root/reference/src/Tracking.cc:5395-...):
+    per-object speed from the estimated world motion H and the object
+    centre c:  v = ||t_H - (I - R_H) c|| * 3.6 * fps  (km/h with fps=10
+    folded into the reference's *36 constant), compared to the GT speeds
+    recorded at tracking time.  Returns (avg_est, avg_gt, per-object)."""
+    m = map_state
+    s_sum, sgt_sum, cnt = 0.0, 0.0, 0
+    per: Dict[int, list] = {}
+    for i in range(len(m.rigid_motions)):
+        if len(m.rigid_motions[i]) <= 1:
+            continue
+        for j in range(1, len(m.rigid_motions[i])):
+            if not m.obj_stat[i][j]:
+                continue
+            H = m.rigid_motions[i][j]
+            c = m.rigid_centres[i][j]
+            v = H[:3, 3] - (np.eye(3) - H[:3, :3]) @ c[:3]
+            sp = float(np.linalg.norm(v)) * 36.0
+            sp_gt = (
+                float(m.speeds_gt[i][j]) if j < len(m.speeds_gt[i]) else 0.0
+            )
+            s_sum += sp
+            sgt_sum += sp_gt
+            cnt += 1
+            lab = m.rm_labels[i][j]
+            per.setdefault(lab, [0.0, 0.0, 0])
+            per[lab][0] += sp
+            per[lab][1] += sp_gt
+            per[lab][2] += 1
+    if cnt == 0:
+        return 0.0, 0.0, {}
+    return (
+        s_sum / cnt, sgt_sum / cnt,
+        {k: (v[0] / v[2], v[1] / v[2], v[2]) for k, v in per.items()},
+    )
+
+
+def object_track_time(map_state) -> Dict[int, int]:
+    """``GetObjTrackTime`` (Tracking.cc:3722-3790): frames each tracking
+    label has been observed."""
+    count: Dict[int, int] = {}
+    for labels in map_state.rm_labels:
+        for lab in labels[1:]:
+            count[lab] = count.get(lab, 0) + 1
+    return count
+
+
+def tracklet_histogram(tracks, max_len: int = 20) -> np.ndarray:
+    """Track-length histogram (dumped by the reference to
+    track_distribution_static(.line).txt, Tracking.cc:3480-3506)."""
+    hist = np.zeros(max_len + 1, np.int64)
+    for tr in tracks:
+        hist[min(len(tr), max_len)] += 1
+    return hist
+
+
+def write_metric_error(map_state, out_path, refined: bool = False) -> None:
+    """Append the metric report like the reference's
+    Results/Metrix_error.txt (Tracking.cc:4992-4993, ios::app)."""
+    from pathlib import Path
+
+    p = Path(out_path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with open(p, "a") as f:
+        f.write(metric_error_report(map_state, refined=refined) + "\n")
+
+
 def metric_error_report(map_state, refined: bool = False) -> str:
     """Formatted like the reference's Results/Metrix_error.txt appends."""
     poses = map_state.camera_poses_rf if refined else map_state.camera_poses
