@@ -87,3 +87,31 @@ class MapState:
     @property
     def n_frames(self) -> int:
         return len(self.camera_poses)
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (SURVEY.md section 5: the reference has none --
+    # state lives in RAM until SaveResults; here the whole history store
+    # serializes to a single npz so long sequences can resume mid-run)
+    # ------------------------------------------------------------------
+    def save(self, path) -> None:
+        import io as _io
+        import pickle
+
+        blob = {}
+        for f in dataclasses.fields(self):
+            blob[f.name] = getattr(self, f.name)
+        buf = _io.BytesIO()
+        pickle.dump(blob, buf, protocol=pickle.HIGHEST_PROTOCOL)
+        with open(path, "wb") as fh:
+            fh.write(buf.getvalue())
+
+    @classmethod
+    def load(cls, path) -> "MapState":
+        import pickle
+
+        with open(path, "rb") as fh:
+            blob = pickle.load(fh)
+        out = cls()
+        for k, v in blob.items():
+            setattr(out, k, v)
+        return out

@@ -35,6 +35,7 @@ from ..ops.geometry import Intrinsics
 from ..solvers import frame_solvers as fs
 from ..utils.config import KITTI, OMD, Settings
 from . import frame as fr
+from . import frame_host as fh
 from .map_state import MapState
 
 _HI = jax.lax.Precision.HIGHEST
@@ -455,23 +456,35 @@ class Tracking:
             cfg.depth_map_factor, cfg.bf,
         )
 
-        depth, stat_tmp, line_tmp, obj_tmp, oline_tmp = self._prep(
-            jnp.asarray(depth_raw, jnp.float32),
-            jnp.asarray(flow, jnp.float32),
-            jnp.asarray(self.mask_np),
-            jnp.asarray(cand), jnp.asarray(cand_valid),
-            jnp.asarray(lcand), jnp.asarray(lcand_valid),
+        # feature selection on host (see frame_host.py deployment note):
+        # the dense->feature transition feeds host bookkeeping, and
+        # device->host pulls are expensive over the TPU tunnel
+        flow_np = np.ascontiguousarray(flow, dtype=np.float32)
+        stat_tmp = fh.select_static_points(
+            cand, cand_valid, self.depth_np, flow_np, self.mask_np,
+            cfg.th_depth_bg, self.NS,
+        )
+        line_tmp = fh.select_static_lines(
+            lcand, lcand_valid, self.depth_np, flow_np, self.mask_np,
+            cfg.th_depth_bg, self.NLS,
+        )
+        obj_tmp = fh.select_object_points(
+            self.depth_np, flow_np, self.mask_np, cfg.th_depth_obj, self.NO,
+        )
+        oline_tmp = fh.select_object_lines(
+            lcand, lcand_valid, self.depth_np, flow_np, self.mask_np,
+            cfg.th_depth_obj, self.NLO,
         )
         timing[0] = (_time.perf_counter() - t0) * 1e3
 
         gt_objs = [np.asarray(r, np.float32) for r in obj_poses_gt]
         if self.f_id == 0 or self.last is None:
-            self._initialize(depth, flow, stat_tmp, line_tmp, obj_tmp,
+            self._initialize(stat_tmp, line_tmp, obj_tmp,
                              oline_tmp, pose_gt, gt_objs)
             pose = np.asarray(self.last["pose"])
         else:
             pose = self._track(
-                depth, flow, stat_tmp, line_tmp, obj_tmp, oline_tmp,
+                flow_np, stat_tmp, line_tmp, obj_tmp, oline_tmp,
                 pose_gt, gt_objs, timing, stop_frame,
             )
         self.last_mask_np = self.mask_np.copy()
@@ -512,7 +525,7 @@ class Tracking:
             self.mask_np[ny[ok], nx[ok]] = lab
 
     # ------------------------------------------------------------------
-    def _initialize(self, depth, flow, stat_tmp, line_tmp, obj_tmp,
+    def _initialize(self, stat_tmp, line_tmp, obj_tmp,
                     oline_tmp, pose_gt, gt_objs):
         """First frame (Tracking.cc:1888-1984): identity pose, stash features
         + 3D, push frame-0 map entries."""
@@ -521,11 +534,11 @@ class Tracking:
         o_uv, o_d, o_f, o_c, o_s, o_v = obj_tmp
         ol_uv, ol_d, ol_f, ol_c, ol_s, ol_v = oline_tmp
 
-        pose = jnp.eye(4, dtype=jnp.float32)
-        stat_3d = self._world_pts(pose, s_uv, s_d)
-        line_3d = self._world_lns(pose, l_uv, l_d)
-        obj_3d = self._world_pts(pose, o_uv, o_d)
-        oline_3d = self._world_lns(pose, ol_uv, ol_d)
+        pose = _EYE4
+        stat_3d = _np_world_points(self.K, pose, s_uv, s_d)
+        line_3d = _np_world_lines(self.K, pose, l_uv, l_d)
+        obj_3d = _np_world_points(self.K, pose, o_uv, o_d)
+        oline_3d = _np_world_lines(self.K, pose, ol_uv, ol_d)
 
         self.last = dict(
             pose=_EYE4.copy(), pose_gt=pose_gt,
@@ -575,44 +588,42 @@ class Tracking:
         m.camera_poses_gt.append(_EYE4.copy())
 
     # ------------------------------------------------------------------
-    def _track(self, depth, flow, stat_tmp, line_tmp, obj_tmp, oline_tmp,
+    def _track(self, flow_np, stat_tmp, line_tmp, obj_tmp, oline_tmp,
                pose_gt, gt_objs, timing, stop_frame):
         import time as _time
 
         cfg = self.cfg
         last = self.last
-        mask_j = jnp.asarray(self.mask_np)
 
-        # ---- inherit from last frame ----
-        (s_uv, s_d, s_v, l_uv, l_d, l_v, o_uv, o_d, o_sem, o_v,
-         ol_uv, ol_d, ol_sem, ol_v) = self._inherit(
-            jnp.asarray(last["stat_corres"]), jnp.asarray(last["stat_valid"]),
-            jnp.asarray(last["line_corres"]), jnp.asarray(last["line_valid"]),
-            jnp.asarray(last["obj_corres"]), jnp.asarray(last["obj_valid"]),
-            jnp.asarray(last["oline_corres"]), jnp.asarray(last["oline_valid"]),
-            depth, mask_j,
+        # ---- inherit from last frame (host; Tracking.cc:269-473) ----
+        (s_uv, s_d, l_uv, l_d, o_uv, o_d, o_sem, ol_uv, ol_d,
+         ol_sem) = fh.inherit(
+            last["stat_corres"], last["line_corres"], last["obj_corres"],
+            last["oline_corres"], self.depth_np, self.mask_np,
+            cfg.th_depth_obj,
         )
+        s_v = last["stat_valid"]
+        l_v = last["line_valid"]
+        o_v = last["obj_valid"]
+        ol_v = last["oline_valid"]
 
         # ================= CAMERA =================
         t0 = _time.perf_counter()
-        T_lw = jnp.asarray(last["pose"])          # last T_cw
-        T_wl = lie.se3_inv(T_lw)
-        last_s_valid = (
-            jnp.asarray(last["stat_valid"])
-            & (jnp.asarray(last["stat_depth"]) > 0)
-            & s_v & (s_d > 0)
-        )
+        T_lw_np = last["pose"]
+        T_wl_np = np.linalg.inv(T_lw_np).astype(np.float32)
+        T_wl = jnp.asarray(T_wl_np)
+        last_s_valid = s_v & (last["stat_depth"] > 0) & (s_d > 0)
         velocity = jnp.asarray(
             self.velocity if self.velocity is not None else _EYE4
         )
         key = jax.random.PRNGKey(self.f_id)
         T_init, subset = self._init_cam(
-            key, velocity, T_lw,
+            key, velocity, jnp.asarray(T_lw_np),
             jnp.asarray(last["stat_uv"]), jnp.asarray(last["stat_depth"]),
-            s_uv, s_d, last_s_valid,
+            jnp.asarray(s_uv), jnp.asarray(s_d), jnp.asarray(last_s_valid),
         )
 
-        line_ok = self._line_track_filter(l_uv, l_v, depth, mask_j)
+        line_ok = fh.line_track_filter(l_uv, l_v, self.depth_np, self.mask_np)
         pts = fs.PointBundle(
             obs=jnp.asarray(last["stat_uv"]),
             flow0=jnp.asarray(last["stat_flow"]),
@@ -623,45 +634,46 @@ class Tracking:
             obs=jnp.asarray(last["line_uv"]),
             flow0=jnp.asarray(last["line_flow"]),
             depth=jnp.asarray(last["line_depth"]),
-            valid=jnp.asarray(last["line_valid"])
-            & (jnp.asarray(last["line_depth"]).min(axis=-1) > 0) & line_ok,
+            valid=jnp.asarray(
+                l_v & (last["line_depth"].min(axis=-1) > 0) & line_ok
+            ),
         )
         res = self._cam_solve(T_init, T_wl, pts, lns)
-        pose = res.pose
+        # one consolidated device->host pull
+        pose_np, res_flow, res_lflow, stat_track_ok, line_track_ok = (
+            jax.device_get(
+                (res.pose, res.flow, res.line_flow,
+                 res.point_inlier, res.line_inlier)
+            )
+        )
         # update tracked positions from optimized flow (Optimizer.cc:6796)
-        s_uv = jnp.where(
-            res.point_inlier[:, None],
-            jnp.asarray(last["stat_uv"]) + res.flow,
-            s_uv,
+        s_uv = np.where(
+            stat_track_ok[:, None], last["stat_uv"] + res_flow, s_uv
         )
-        l_uv = jnp.where(
-            res.line_inlier[:, None],
-            jnp.asarray(last["line_uv"]) + res.line_flow,
-            l_uv,
+        l_uv = np.where(
+            line_track_ok[:, None], last["line_uv"] + res_lflow, l_uv
         )
-        stat_track_ok = np.asarray(res.point_inlier)
-        line_track_ok = np.asarray(res.line_inlier)
         timing[1] = (_time.perf_counter() - t0) * 1e3
 
         # velocity (Tracking.cc:1177-1183)
-        pose_np = np.asarray(pose)
         self.velocity = (pose_np @ np.linalg.inv(last["pose"])).astype(
             np.float32
         )
+        pose = jnp.asarray(pose_np)
 
         # ================= OBJECTS =================
         t0 = _time.perf_counter()
-        flow3d, Xp_world, sf_valid = self._scene_flow(
-            T_lw, pose,
-            jnp.asarray(last["obj_uv"]), jnp.asarray(last["obj_depth"]),
-            o_uv, o_d,
-            jnp.asarray(last["obj_sem"]), o_sem,
-            jnp.asarray(last["obj_valid"]) & o_v,
+        # GetSceneFlowObj (host): world 3D flow per object point
+        Xp_world = _np_world_points(
+            self.K, T_lw_np, last["obj_uv"], last["obj_depth"]
+        )
+        Xc_world = _np_world_points(self.K, pose_np, o_uv, o_d)
+        flow3d = Xc_world - Xp_world
+        sf_valid = (
+            o_v & last["obj_valid"] & (last["obj_sem"] > 0) & (o_sem > 0)
         )
         obj_label = self._dyn_obj_tracking(
-            np.asarray(o_uv), np.asarray(o_sem), np.asarray(sf_valid),
-            np.asarray(flow3d), np.asarray(o_d),
-            np.asarray(ol_uv), np.asarray(ol_sem), np.asarray(ol_v),
+            o_uv, o_sem, sf_valid, flow3d, o_d, ol_uv, ol_sem, ol_v,
         )
         timing[2] = (_time.perf_counter() - t0) * 1e3
 
@@ -699,13 +711,11 @@ class Tracking:
         # ================= RENEW =================
         t0 = _time.perf_counter()
         new_state = self._renew_frame_info(
-            pose_np, depth, flow, stat_tmp, line_tmp, obj_tmp, oline_tmp,
-            np.asarray(s_uv), np.asarray(s_d), stat_track_ok,
-            np.asarray(l_uv), np.asarray(l_d), line_track_ok,
-            o_uv_np, np.asarray(o_d), np.asarray(o_sem), obj_label,
-            obj_track_ok,
-            ol_uv_np, np.asarray(ol_d), np.asarray(ol_sem),
-            np.asarray(ol_v), oline_track_ok,
+            pose_np, flow_np, stat_tmp, line_tmp, obj_tmp, oline_tmp,
+            s_uv, s_d, stat_track_ok,
+            l_uv, l_d, line_track_ok,
+            o_uv_np, o_d, o_sem, obj_label, obj_track_ok,
+            ol_uv_np, ol_d, ol_sem, ol_v, oline_track_ok,
             pose_gt, gt_objs,
         )
         timing[4] = (_time.perf_counter() - t0) * 1e3
@@ -915,11 +925,10 @@ class Tracking:
                 depth=jnp.asarray(ln_depth), valid=jnp.asarray(ln_valid),
             ),
         )
-        poses_G = np.asarray(results.pose)
-        pt_inl = np.asarray(results.point_inlier)
-        ln_inl = np.asarray(results.line_inlier)
-        flows = np.asarray(results.flow)
-        ln_flows = np.asarray(results.line_flow)
+        poses_G, pt_inl, ln_inl, flows, ln_flows = jax.device_get(
+            (results.pose, results.point_inlier, results.line_inlier,
+             results.flow, results.line_flow)
+        )
 
         inv_pose = np.linalg.inv(pose_np)
         curr_twc_gt = np.linalg.inv(pose_gt)
@@ -976,7 +985,7 @@ class Tracking:
         return None
 
     # ------------------------------------------------------------------
-    def _renew_frame_info(self, pose_np, depth, flow, stat_tmp, line_tmp,
+    def _renew_frame_info(self, pose_np, flow_np, stat_tmp, line_tmp,
                           obj_tmp, oline_tmp,
                           s_uv, s_d, stat_ok, l_uv, l_d, line_ok,
                           o_uv, o_d, o_sem, obj_label, obj_ok,
@@ -987,7 +996,6 @@ class Tracking:
         association ids."""
         cfg = self.cfg
         depth_np = self.depth_np
-        flow_np = np.asarray(flow)
         mask_np = self.mask_np
         h, w = mask_np.shape
 
