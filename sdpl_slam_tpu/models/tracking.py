@@ -287,6 +287,18 @@ class Tracking:
             jax.vmap(obj_solve_one, in_axes=(0, None, 0, 0))
         )
 
+        def cam_pose_only(T_init, X_w, obs_uv, valid, lXs, lXe, lcoef, lval):
+            return fs.solve_pose_only(
+                T_init, X_w, obs_uv, valid, lXs, lXe, lcoef, lval, K,
+                rp_thres=0.01, line_weight_thr=50,
+                use_lines=cfg.use_lines,
+            )
+
+        self._cam_pose_only = jax.jit(cam_pose_only)
+        self._obj_pose_only = jax.jit(
+            jax.vmap(cam_pose_only, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+        )
+
         def _model_inliers(model, X_w, cur_uv, valid):
             proj = geometry.project(K, lie.transform_point(model, X_w))
             rpe = jnp.linalg.norm(cur_uv - proj, axis=-1)
@@ -638,21 +650,43 @@ class Tracking:
                 l_v & (last["line_depth"].min(axis=-1) > 0) & line_ok
             ),
         )
-        res = self._cam_solve(T_init, T_wl, pts, lns)
-        # one consolidated device->host pull
-        pose_np, res_flow, res_lflow, stat_track_ok, line_track_ok = (
-            jax.device_get(
-                (res.pose, res.flow, res.line_flow,
-                 res.point_inlier, res.line_inlier)
+        if cfg.use_joint_optimization:
+            res = self._cam_solve(T_init, T_wl, pts, lns)
+            # one consolidated device->host pull
+            pose_np, res_flow, res_lflow, stat_track_ok, line_track_ok = (
+                jax.device_get(
+                    (res.pose, res.flow, res.line_flow,
+                     res.point_inlier, res.line_inlier)
+                )
             )
-        )
-        # update tracked positions from optimized flow (Optimizer.cc:6796)
-        s_uv = np.where(
-            stat_track_ok[:, None], last["stat_uv"] + res_flow, s_uv
-        )
-        l_uv = np.where(
-            line_track_ok[:, None], last["line_uv"] + res_lflow, l_uv
-        )
+            # update tracked positions from optimized flow
+            # (Optimizer.cc:6796)
+            s_uv = np.where(
+                stat_track_ok[:, None], last["stat_uv"] + res_flow, s_uv
+            )
+            l_uv = np.where(
+                line_track_ok[:, None], last["line_uv"] + res_lflow, l_uv
+            )
+        else:
+            # bJoint=false: PoseOptimizationNewWithLines
+            # (Optimizer.cc:5900) on fixed last-frame 3D structure
+            X_w = _np_world_points(
+                self.K, T_lw_np, last["stat_uv"], last["stat_depth"]
+            )
+            l3d = last["line_3d"]
+            lcoef = np.asarray(geometry.infinite_line_image(
+                jnp.asarray(l_uv[:, :2]), jnp.asarray(l_uv[:, 2:])
+            ))
+            res = self._cam_pose_only(
+                T_init, jnp.asarray(X_w), jnp.asarray(s_uv), subset,
+                jnp.asarray(l3d[:, :3]), jnp.asarray(l3d[:, 3:]),
+                jnp.asarray(lcoef),
+                jnp.asarray(l_v & (last["line_depth"].min(axis=-1) > 0)
+                            & line_ok),
+            )
+            pose_np, stat_track_ok, line_track_ok = jax.device_get(
+                (res.pose, res.point_inlier, res.line_inlier)
+            )
         timing[1] = (_time.perf_counter() - t0) * 1e3
 
         # velocity (Tracking.cc:1177-1183)
@@ -909,9 +943,10 @@ class Tracking:
             jnp.asarray(pt_cur_uv), jnp.asarray(pt_cur_d),
             jnp.asarray(pt_valid),
         )
-        init_inl_np = np.asarray(init_inl)
-        init_n_np = np.asarray(init_n)
-        pt_valid = pt_valid & init_inl_np
+        init_inl_np, init_n_np = jax.device_get(
+            (init_inl[:n_obj], init_n[:n_obj])
+        )
+        pt_valid[:n_obj] = pt_valid[:n_obj] & init_inl_np
 
         results = self._obj_solve(
             T_inits_j,
@@ -925,9 +960,12 @@ class Tracking:
                 depth=jnp.asarray(ln_depth), valid=jnp.asarray(ln_valid),
             ),
         )
+        # slice to the live object count BEFORE pulling (the padded
+        # max-objects rows would triple the tunnel transfer)
         poses_G, pt_inl, ln_inl, flows, ln_flows = jax.device_get(
-            (results.pose, results.point_inlier, results.line_inlier,
-             results.flow, results.line_flow)
+            (results.pose[:n_obj], results.point_inlier[:n_obj],
+             results.line_inlier[:n_obj], results.flow[:n_obj],
+             results.line_flow[:n_obj])
         )
 
         inv_pose = np.linalg.inv(pose_np)

@@ -119,6 +119,11 @@ class BAWeights:
     huber_obj: float = 1e-4
     huber_3d: float = 1e-4
     robust: bool = True
+    # EdgeSE3Altitude (types_dyn_slam3d.h:67-83): 1-dof y-translation
+    # constraint on motion vertices; the reference defaults it OFF
+    # (ALTITUDE_CONSTRAINT=false, Optimizer.cc:4026)
+    use_altitude: bool = False
+    sigma2_alti: float = 0.1
 
 
 class BAState(NamedTuple):
@@ -196,6 +201,13 @@ def _r_line_obs(d_cam, d_line, T, U, w, meas6):
 
 def _safe_norm3(x):
     return jnp.sqrt(jnp.sum(x * x) + 1e-12)
+
+
+def _r_altitude(d_mot, H):
+    """EdgeSE3Altitude (types_dyn_slam3d.cpp:704): y translation of the
+    motion vertex, measurement 0."""
+    Hm = H @ lie.se3_exp(d_mot)
+    return Hm[1:2, 3]
 
 
 def _r_tern(d_prev, d_cur, d_mot, Xp, Xc, H):
@@ -278,6 +290,11 @@ def _edges(graph: BAGraph, state: BAState, w: BAWeights):
          [("cam", g.dl_cam), ("ld", g.dl_line)],
          (s.cam_T[g.dl_cam], s.Ld_U[g.dl_line], s.Ld_w[g.dl_line], g.dl_meas),
          1.0 / w.sigma2_3d_dyn, w.huber_3d, g.dl_valid, 2),
+        ("alt", _r_altitude,
+         [("mot", jnp.arange(s.mot_T.shape[0], dtype=jnp.int32))],
+         (s.mot_T,),
+         1.0 / w.sigma2_alti, w.huber_obj,
+         g.mot_valid & bool(w.use_altitude), 1),
         ("ltern", _r_line_tern,
          [("ld", g.ltern_prev), ("ld", g.ltern_cur), ("mot", g.ltern_mot)],
          (s.Ld_U[g.ltern_prev], s.Ld_w[g.ltern_prev],
