@@ -103,23 +103,29 @@ def obj_pose_parsing_kt(row: np.ndarray) -> np.ndarray:
     return pose
 
 
-def obj_pose_parsing_ox(row: np.ndarray) -> np.ndarray:
-    """OMD object-pose row -> 4x4 pose in WORLD coordinates
-    (``ObjPoseParsingOX``, Tracking.cc:3243-3323): row carries translation
-    + quaternion... reference converts axis-angle/rotation directly.  The
-    10-float row is [frame, id, t(3), R as axis-angle or quat(4)]."""
+def obj_pose_parsing_ox(row: np.ndarray,
+                        origin_inv: np.ndarray = None) -> np.ndarray:
+    """OMD object-pose row -> 4x4 origin-aligned WORLD pose
+    (``ObjPoseParsingOX``, /root/reference/src/Tracking.cc:3243-3323):
+    row = [frame, id, t(3), axis-angle(3)]; the pose is composed as
+    inv(origin) @ [Rodrigues(aa), t] so it lives in the frame-0 camera
+    frame like the internal trajectory."""
     pose = np.eye(4, dtype=np.float32)
-    t = row[2:5].astype(np.float32)
-    q = row[5:9].astype(np.float64)  # qx qy qz qw
-    n = np.linalg.norm(q)
-    if n > 1e-8:
-        x, y, z, w = q / n
+    t = row[2:5].astype(np.float64)
+    aa = row[5:8].astype(np.float64)
+    angle = float(np.linalg.norm(aa))
+    if angle > 0:
+        x, y, z = aa / angle
+        s, c = np.sin(angle), np.cos(angle)
+        v = 1.0 - c
         pose[:3, :3] = np.array([
-            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
-            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
-            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            [x * x * v + c, x * y * v - z * s, x * z * v + y * s],
+            [x * y * v + z * s, y * y * v + c, y * z * v - x * s],
+            [x * z * v - y * s, y * z * v + x * s, z * z * v + c],
         ], np.float32)
-    pose[:3, 3] = t
+    pose[:3, 3] = t.astype(np.float32)
+    if origin_inv is not None:
+        pose = (np.linalg.inv(origin_inv) @ pose).astype(np.float32)
     return pose
 
 
@@ -890,17 +896,20 @@ class Tracking:
 
         oline_label = self._oline_label
         P, L = self.P_OBJ, self.L_OBJ
-        pt_obs = np.zeros((self.MAXO, P, 2), np.float32)
-        pt_flow0 = np.zeros((self.MAXO, P, 2), np.float32)
-        pt_depth = np.ones((self.MAXO, P), np.float32)
-        pt_cur_uv = np.zeros((self.MAXO, P, 2), np.float32)
-        pt_cur_d = np.zeros((self.MAXO, P), np.float32)
-        pt_valid = np.zeros((self.MAXO, P), bool)
-        ln_obs = np.zeros((self.MAXO, L, 4), np.float32)
-        ln_flow0 = np.zeros((self.MAXO, L, 4), np.float32)
-        ln_depth = np.ones((self.MAXO, L, 2), np.float32)
-        ln_valid = np.zeros((self.MAXO, L), bool)
-        T_inits = np.tile(_EYE4, (self.MAXO, 1, 1))
+        # bucket the object axis to the next power of two: most frames
+        # carry 1-2 objects, not max_objects -- 4x less padded compute
+        MB = min(1 << max(n_obj - 1, 0).bit_length(), self.MAXO)
+        pt_obs = np.zeros((MB, P, 2), np.float32)
+        pt_flow0 = np.zeros((MB, P, 2), np.float32)
+        pt_depth = np.ones((MB, P), np.float32)
+        pt_cur_uv = np.zeros((MB, P, 2), np.float32)
+        pt_cur_d = np.zeros((MB, P), np.float32)
+        pt_valid = np.zeros((MB, P), bool)
+        ln_obs = np.zeros((MB, L, 4), np.float32)
+        ln_flow0 = np.zeros((MB, L, 4), np.float32)
+        ln_depth = np.ones((MB, L, 2), np.float32)
+        ln_valid = np.zeros((MB, L), bool)
+        T_inits = np.tile(_EYE4, (MB, 1, 1))
 
         pose_np = np.asarray(pose)
         o_uv_np = np.asarray(o_uv)
@@ -935,7 +944,7 @@ class Tracking:
 
         # GetInitModelObj: RANSAC vs propagated-motion model per object
         keys = jax.random.split(
-            jax.random.PRNGKey(1000 + self.f_id), self.MAXO
+            jax.random.PRNGKey(1000 + self.f_id), MB
         )
         T_inits_j, init_inl, init_n = self._init_obj(
             keys, jnp.asarray(T_inits), T_wl,
@@ -1017,7 +1026,7 @@ class Tracking:
         for row in gt_rows:
             if int(row[1]) == sem_label:
                 if self.cfg.choose_data == OMD:
-                    return obj_pose_parsing_ox(row)
+                    return obj_pose_parsing_ox(row, self.origin_inv)
                 L = obj_pose_parsing_kt(row)
                 return (twc_gt @ L).astype(np.float32)
         return None
