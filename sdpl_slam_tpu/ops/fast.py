@@ -100,6 +100,17 @@ class FastPyramidConfig(NamedTuple):
     per_cell: int = 4
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_keypoints_batch(imgs: jnp.ndarray,
+                           cfg: "FastPyramidConfig" = None):
+    """Batched multi-frame detection (SURVEY.md section 2.3: the batched
+    front-end replacing the reference's per-frame extraction loops):
+    imgs (B, H, W) -> (uv (B, n, 2), score (B, n), valid (B, n)).  One
+    compiled program amortizes pyramid+FAST over the frame batch."""
+    cfg = cfg or FastPyramidConfig()
+    return jax.vmap(lambda im: detect_keypoints(im, cfg))(imgs)
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg",)
 )
