@@ -171,102 +171,6 @@ class Tracking:
         cfg = self.cfg
         K = self.K
 
-        @jax.jit
-        def prep(depth_raw, flow, mask, stat_cand_uv, stat_cand_valid,
-                 line_cand_uv4, line_cand_valid):
-            depth = fr.preprocess_depth(
-                depth_raw, cfg.choose_data, cfg.depth_map_factor, cfg.bf
-            )
-            s_uv, s_d, s_f, s_c, s_v = fr.select_static_points(
-                stat_cand_uv, stat_cand_valid, depth, flow, mask,
-                cfg.th_depth_bg, self.NS,
-            )
-            l_uv, l_d, l_f, l_c, l_v = fr.select_static_lines(
-                line_cand_uv4, line_cand_valid, depth, flow, mask,
-                cfg.th_depth_bg, self.NLS,
-            )
-            o_uv, o_d, o_f, o_c, o_s, o_v = fr.select_object_points(
-                depth, flow, mask, cfg.th_depth_obj, self.NO,
-            )
-            ol_uv, ol_d, ol_f, ol_c, ol_s, ol_v = fr.select_object_lines(
-                line_cand_uv4, line_cand_valid, depth, flow, mask,
-                cfg.th_depth_obj, self.NLO,
-            )
-            return (depth, (s_uv, s_d, s_f, s_c, s_v),
-                    (l_uv, l_d, l_f, l_c, l_v),
-                    (o_uv, o_d, o_f, o_c, o_s, o_v),
-                    (ol_uv, ol_d, ol_f, ol_c, ol_s, ol_v))
-
-        self._prep = prep
-
-        @jax.jit
-        def inherit(last_stat_corres, last_stat_valid,
-                    last_line_corres, last_line_valid,
-                    last_obj_corres, last_obj_valid,
-                    last_oline_corres, last_oline_valid,
-                    depth, mask):
-            """Tracking.cc:269-473: current features = last correspondences,
-            with re-looked-up depths/semantic labels."""
-            s_uv = last_stat_corres
-            s_d, s_inb = fr.lookup_nearest(depth, s_uv)
-            s_d = jnp.where(s_inb & (s_d > 0), s_d, -1.0)
-
-            l_uv = last_line_corres
-            ld_s, li_s = fr.lookup_nearest(depth, l_uv[:, :2])
-            ld_e, li_e = fr.lookup_nearest(depth, l_uv[:, 2:])
-            l_ok = li_s & li_e & (ld_s > 0) & (ld_e > 0)
-            l_d = jnp.where(
-                l_ok[:, None], jnp.stack([ld_s, ld_e], -1), -1.0
-            )
-
-            o_uv = last_obj_corres
-            o_d, o_inb = fr.lookup_nearest(depth, o_uv)
-            o_m, _ = fr.lookup_nearest(mask, o_uv)
-            o_ok = o_inb & (o_d < cfg.th_depth_obj) & (o_d > 0)
-            o_d = jnp.where(o_ok, o_d, 0.1)            # Tracking.cc:345-350
-            o_sem = jnp.where(o_ok, o_m, 0).astype(jnp.int32)
-
-            ol_uv = last_oline_corres
-            old_s, oli_s = fr.lookup_nearest(depth, ol_uv[:, :2])
-            old_e, oli_e = fr.lookup_nearest(depth, ol_uv[:, 2:])
-            olm, _ = fr.lookup_nearest(mask, ol_uv[:, :2])
-            ol_ok = (
-                oli_s & oli_e
-                & (old_s > 0) & (old_s < cfg.th_depth_obj)
-                & (old_e > 0) & (old_e < cfg.th_depth_obj)
-            )
-            ol_d = jnp.where(
-                ol_ok[:, None],
-                jnp.stack([old_s, old_e], -1),
-                0.1,
-            )
-            ol_sem = jnp.where(ol_ok, olm, 0).astype(jnp.int32)
-            return (s_uv, s_d, last_stat_valid,
-                    l_uv, l_d, last_line_valid,
-                    o_uv, o_d, o_sem, last_obj_valid,
-                    ol_uv, ol_d, ol_sem, last_oline_valid)
-
-        self._inherit = inherit
-
-        @jax.jit
-        def line_track_filter(line_uv, line_valid, depth, mask):
-            """Track() line validity (Tracking.cc:1056-1099): midpoint depth
-            discontinuity and nonzero mask at endpoints drop the line."""
-            s_uv, e_uv = line_uv[:, :2], line_uv[:, 2:]
-            ds, _ = fr.lookup_nearest(depth, s_uv)
-            de, _ = fr.lookup_nearest(depth, e_uv)
-            dm, _ = fr.lookup_nearest(depth, 0.5 * (s_uv + e_uv))
-            ms, _ = fr.lookup_nearest(mask, s_uv)
-            me, _ = fr.lookup_nearest(mask, e_uv)
-            length = jnp.linalg.norm(e_uv - s_uv, axis=-1)
-            ok = (
-                (jnp.abs(dm - 0.5 * (ds + de)) <= 10.0 * length / 1000.0)
-                & (ms == 0) & (me == 0)
-            )
-            return line_valid & ok
-
-        self._line_track_filter = line_track_filter
-
         def cam_solve(T_init, T_wl, pts, lns):
             return fs.solve_flow_pose(
                 T_init, T_wl, pts, lns, K,
@@ -279,18 +183,21 @@ class Tracking:
 
         self._cam_solve = jax.jit(cam_solve)
 
-        def obj_solve_one(T_init, T_wl, pts, lns):
+        def obj_solve_one(T_init, T_wl, pts, lns, use_lines):
             return fs.solve_flow_pose(
                 T_init, T_wl, pts, lns, K,
                 rp_thres=cfg.rp_thres,
                 flow_prior_info=cfg.flow_prior_info_obj,
                 line_prior_info=cfg.flow_prior_info_obj,
                 max_iterations=cfg.lm_iterations,
-                use_lines=cfg.use_lines,
+                use_lines=use_lines and cfg.use_lines,
             )
 
+        # use_lines static: frames with no valid object lines compile to a
+        # variant without any line math (the common case)
         self._obj_solve = jax.jit(
-            jax.vmap(obj_solve_one, in_axes=(0, None, 0, 0))
+            jax.vmap(obj_solve_one, in_axes=(0, None, 0, 0, None)),
+            static_argnums=(4,),
         )
 
         def cam_pose_only(T_init, X_w, obs_uv, valid, lXs, lXe, lcoef, lval):
@@ -353,31 +260,6 @@ class Tracking:
         self._init_obj = jax.jit(jax.vmap(
             init_model_obj_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0)
         ))
-
-        @jax.jit
-        def scene_flow(last_pose, cur_pose, last_uv, last_depth,
-                       cur_uv, cur_depth, last_sem, cur_sem, valid):
-            """GetSceneFlowObj (Tracking.cc:1989-2075): world-frame 3D flow
-            per object point; invalid when either semantic label <= 0."""
-            Xp = fr.world_points(K, last_pose, last_uv, last_depth)
-            Xc = fr.world_points(K, cur_pose, cur_uv, cur_depth)
-            flow3d = Xc - Xp
-            sem_ok = (last_sem > 0) & (cur_sem > 0)
-            return flow3d, Xp, valid & sem_ok
-
-        self._scene_flow = scene_flow
-
-        @jax.jit
-        def world_pts(T_cw, uv, depth):
-            return fr.world_points(K, T_cw, uv, depth)
-
-        self._world_pts = world_pts
-
-        @jax.jit
-        def world_lns(T_cw, uv4, d2):
-            return fr.world_lines(K, T_cw, uv4, d2)
-
-        self._world_lns = world_lns
 
     # ------------------------------------------------------------------
     # public API
@@ -957,6 +839,7 @@ class Tracking:
         )
         pt_valid[:n_obj] = pt_valid[:n_obj] & init_inl_np
 
+        any_lines = bool(ln_valid.any())
         results = self._obj_solve(
             T_inits_j,
             T_wl,
@@ -968,6 +851,7 @@ class Tracking:
                 obs=jnp.asarray(ln_obs), flow0=jnp.asarray(ln_flow0),
                 depth=jnp.asarray(ln_depth), valid=jnp.asarray(ln_valid),
             ),
+            any_lines,
         )
         # slice to the live object count BEFORE pulling (the padded
         # max-objects rows would triple the tunnel transfer)
