@@ -65,3 +65,14 @@ def test_detect_keypoints_spatial_distribution(rng):
                 & (uv[:, 1] >= qy * 96) & (uv[:, 1] < (qy + 1) * 96)
             ).sum()
             assert n > 10, (qx, qy, n)
+
+
+def test_pallas_score_map_matches_xla(rng):
+    import jax.numpy as jnp
+
+    img, _ = make_corner_image(rng)
+    a = np.asarray(fast.fast_score_map(jnp.asarray(img), 20.0))
+    b = np.asarray(
+        fast.fast_score_map_pallas(jnp.asarray(img), 20.0, interpret=True)
+    )
+    np.testing.assert_array_equal(a, b)
