@@ -200,6 +200,24 @@ class Tracking:
             static_argnums=(4,),
         )
 
+        def obj_init_and_solve(keys, models, T_wl, pts, lns, cur_uv, cur_d,
+                               use_lines):
+            """GetInitModelObj + the joint solve in ONE device chain (one
+            host sync instead of two over the TPU tunnel)."""
+            T_inits, init_inl, init_n = jax.vmap(
+                init_model_obj_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0)
+            )(keys, models, T_wl, pts.obs, pts.depth, cur_uv, cur_d,
+              pts.valid)
+            pts = pts._replace(valid=pts.valid & init_inl)
+            res = jax.vmap(
+                obj_solve_one, in_axes=(0, None, 0, 0, None)
+            )(T_inits, T_wl, pts, lns, use_lines)
+            return res, init_inl, init_n
+
+        self._obj_init_solve = jax.jit(
+            obj_init_and_solve, static_argnums=(7,)
+        )
+
         def cam_pose_only(T_init, X_w, obs_uv, valid, lXs, lXe, lcoef, lval):
             return fs.solve_pose_only(
                 T_init, X_w, obs_uv, valid, lXs, lXe, lcoef, lval, K,
@@ -257,9 +275,7 @@ class Tracking:
             subset = jnp.where(use_ransac, rs.inliers, mm_inl)
             return T_init, subset, jnp.maximum(rs.n_inliers, mm_n)
 
-        self._init_obj = jax.jit(jax.vmap(
-            init_model_obj_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0)
-        ))
+
 
     # ------------------------------------------------------------------
     # public API
@@ -824,25 +840,13 @@ class Tracking:
                 T_inits[k] = pose_np
             metas.append((lab, pidx, lidx))
 
-        # GetInitModelObj: RANSAC vs propagated-motion model per object
+        # GetInitModelObj + joint solves, one fused device chain
         keys = jax.random.split(
             jax.random.PRNGKey(1000 + self.f_id), MB
         )
-        T_inits_j, init_inl, init_n = self._init_obj(
-            keys, jnp.asarray(T_inits), T_wl,
-            jnp.asarray(pt_obs), jnp.asarray(pt_depth),
-            jnp.asarray(pt_cur_uv), jnp.asarray(pt_cur_d),
-            jnp.asarray(pt_valid),
-        )
-        init_inl_np, init_n_np = jax.device_get(
-            (init_inl[:n_obj], init_n[:n_obj])
-        )
-        pt_valid[:n_obj] = pt_valid[:n_obj] & init_inl_np
-
         any_lines = bool(ln_valid.any())
-        results = self._obj_solve(
-            T_inits_j,
-            T_wl,
+        results, init_inl, init_n = self._obj_init_solve(
+            keys, jnp.asarray(T_inits), T_wl,
             fs.PointBundle(
                 obs=jnp.asarray(pt_obs), flow0=jnp.asarray(pt_flow0),
                 depth=jnp.asarray(pt_depth), valid=jnp.asarray(pt_valid),
@@ -851,14 +855,15 @@ class Tracking:
                 obs=jnp.asarray(ln_obs), flow0=jnp.asarray(ln_flow0),
                 depth=jnp.asarray(ln_depth), valid=jnp.asarray(ln_valid),
             ),
+            jnp.asarray(pt_cur_uv), jnp.asarray(pt_cur_d),
             any_lines,
         )
         # slice to the live object count BEFORE pulling (the padded
         # max-objects rows would triple the tunnel transfer)
-        poses_G, pt_inl, ln_inl, flows, ln_flows = jax.device_get(
+        poses_G, pt_inl, ln_inl, flows, ln_flows, init_n_np = jax.device_get(
             (results.pose[:n_obj], results.point_inlier[:n_obj],
              results.line_inlier[:n_obj], results.flow[:n_obj],
-             results.line_flow[:n_obj])
+             results.line_flow[:n_obj], init_n[:n_obj])
         )
 
         inv_pose = np.linalg.inv(pose_np)
