@@ -882,10 +882,12 @@ class Tracking:
             stat = True
             H_gt_body = _EYE4.copy()
             pose_pre = _EYE4.copy()
+            H_gt_world = _EYE4.copy()
             if L_w_p is None or L_w_c is None:
                 stat = False           # Tracking.cc:1317-1334
             else:
                 H_gt_body = (np.linalg.inv(L_w_p) @ L_w_c).astype(np.float32)
+                H_gt_world = (L_w_c @ np.linalg.inv(L_w_p)).astype(np.float32)
                 pose_pre = L_w_p
             if int(init_n_np[k]) < cfg.min_pnp_inliers_obj:
                 stat = False           # init failure, Tracking.cc:1387-1399
@@ -900,8 +902,13 @@ class Tracking:
                 if n
                 else np.zeros(3, np.float32)
             )
+            # GT speed (Tracking.cc:1404-1409): v = t - (I-R) c, km/h x36
+            sp_gt_v = H_gt_world[:3, 3] - (
+                np.eye(3) - H_gt_world[:3, :3]
+            ) @ centre[:3]
+            speed_gt = float(np.linalg.norm(sp_gt_v)) * 36.0
             obj_meta.append(dict(
-                label=lab, sem=sem_lab, stat=stat, H=H,
+                label=lab, sem=sem_lab, stat=stat, H=H, speed_gt=speed_gt,
                 H_gt_body=H_gt_body, pose_pre=pose_pre, centre=centre,
                 pt_idx=pidx, ln_idx=lidx,
                 pt_inlier=pt_inl[k], ln_inlier=ln_inl[k],
@@ -1312,7 +1319,7 @@ class Tracking:
             stats.append(True)
             centres.append(om["centre"])
             motions_gt.append(om["H_gt_body"])
-            speeds.append(0.0)
+            speeds.append(om["speed_gt"])
             obj_motion_map[om["label"]] = om["H"]
         m.rigid_motions.append(motions)
         m.rigid_motions_rf.append([x.copy() for x in motions])
