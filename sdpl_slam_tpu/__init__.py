@@ -31,3 +31,18 @@ import jax as _jax
 # trajectories).  All library matmuls run in full f32; compute-bound kernels
 # that genuinely want bf16 must request it explicitly.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: the batch-BA step is a large program
+# (~60 s remote compile per shape bucket on the tunneled TPU); caching
+# makes every bucket a one-time cost across processes and rounds.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "SDPL_JAX_CACHE", _os.path.expanduser("~/.cache/sdpl_slam_tpu_jax")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass

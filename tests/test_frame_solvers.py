@@ -174,3 +174,25 @@ def test_solver_jits_and_invalid_padding(rng):
     assert t_err < 1e-3
     assert not bool(jnp.any(res.point_inlier[100:]))
     assert np.all(np.isfinite(np.asarray(res.flow)))
+
+
+def test_outlier_gate_threshold(rng):
+    """Gating parity: chi2 = 0.1*||r||^2 > rp_thres=0.04 marks an outlier,
+    i.e. residuals above ~0.63 px (Optimizer.cc:6456,6712)."""
+    T_true = lie.se3_exp(jnp.array([0.0, 0.0, 0.0, 0.05, 0.0, 0.2], jnp.float32))
+    n = 200
+    uv, z, flow, _ = make_scene(rng, n, T_cw=T_true)
+    flow_np = np.asarray(flow).copy()
+    flow_np[0] += [0.0, 10.0]    # gross outlier: residual >> 0.63 px
+    flow_np[1] += [0.0, 0.05]    # tiny perturbation: stays inlier
+    pts = fs.PointBundle(
+        obs=uv, flow0=jnp.asarray(flow_np), depth=z, valid=jnp.ones(n, bool)
+    )
+    res = fs.solve_flow_pose(
+        jnp.eye(4, dtype=jnp.float32), jnp.eye(4, dtype=jnp.float32),
+        pts, empty_lines(), K, flow_prior_info=0.3, use_lines=False,
+    )
+    inl = np.asarray(res.point_inlier)
+    assert not inl[0], "10px flow corruption must be gated"
+    assert inl[1], "0.05px perturbation must stay inlier"
+    assert inl[2:].all()
