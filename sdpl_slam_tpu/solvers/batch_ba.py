@@ -32,6 +32,7 @@ Graph recipe replicated from Optimizer.cc:3995-5337 (citations inline):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -414,6 +415,119 @@ def _tree_dot(a, b):
     return sum(jnp.vdot(a[k], b[k]) for k in a)
 
 
+# ---------------------------------------------------------------------------
+# Split compilation units: the monolithic step's dominant compile cost is
+# the vmapped jacfwd chains (40-75 s per shape bucket through the remote
+# TPU compiler, and remote compiles are not persisted).  run_ba therefore
+# linearizes each edge type in its own small jit and solves the normal
+# equations in a jacobian-consuming CG jit -- each unit compiles in
+# seconds and is shared between the partial and full BA when buckets match.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("w", "idx"))
+def _linearize_edge(graph: BAGraph, state: BAState, w: BAWeights, idx: int):
+    """Linearize edge type ``idx`` of the _edges list."""
+    name, fn, verts, consts, info, delta, valid, rdim = _edges(
+        graph, state, w
+    )[idx]
+    n_v = len(verts)
+    E = verts[0][1].shape[0]
+    zeros = [jnp.zeros((E, _FAMILY_DIM[fam]), state.cam_T.dtype)
+             for fam, _ in verts]
+    r = jax.vmap(fn)(*zeros, *consts)
+    jacs = jax.vmap(jax.jacfwd(fn, argnums=tuple(range(n_v))))(
+        *zeros, *consts
+    )
+    r = jnp.nan_to_num(jnp.where(valid[:, None], r, 0.0))
+    jacs = tuple(
+        jnp.nan_to_num(jnp.where(valid[:, None, None], J, 0.0))
+        for J in jacs
+    )
+    chi2 = info * jnp.sum(r * r, axis=-1)
+    wgt = valid * _huber_w(chi2, delta, w.robust) * info
+    rho = jnp.sum(valid * _huber_rho(chi2, delta, w.robust))
+    return r, jacs, wgt, rho
+
+
+@functools.partial(jax.jit, static_argnames=("w", "cg_iters"))
+def _solve_normal_eq(graph: BAGraph, state: BAState, w: BAWeights,
+                     lin_flat, prior, lam, cg_iters: int):
+    """CG on precomputed per-edge jacobians (no jacfwd in this program)."""
+    template = _zeros_delta(state)
+    # rebuild the lin dicts with vertex indices from the graph
+    specs = _edges(graph, state, w)
+    lin = []
+    for (name, _, verts, _, _, _, _, _), (r, jacs, wgt, _) in zip(
+        specs, lin_flat
+    ):
+        lin.append(dict(name=name, verts=verts, r=r, jacs=jacs, wgt=wgt))
+    g, hvp, bd = _hvp_and_grad(lin, prior, graph, template)
+    eye = {
+        k: jnp.broadcast_to(jnp.eye(v.shape[-1], dtype=v.dtype), v.shape)
+        for k, v in bd.items()
+    }
+    bd_damped = {k: bd[k] + lam * eye[k] for k in bd}
+    pinv = {k: jnp.linalg.inv(bd_damped[k] + 1e-8 * eye[k]) for k in bd}
+
+    def A(v):
+        hv = hvp(v)
+        return {k: hv[k] + lam * v[k] for k in hv}
+
+    def M(v):
+        return {
+            k: jnp.einsum("nij,nj->ni", pinv[k], v[k], precision=_HI)
+            for k in v
+        }
+
+    b = {k: -g[k] for k in g}
+    x = {k: jnp.zeros_like(v) for k, v in b.items()}
+    r = b
+    z = M(r)
+    p = z
+    rz = _tree_dot(r, z)
+
+    def body(i, carry):
+        x, r, z, p, rz = carry
+        Ap = A(p)
+        alpha = rz / jnp.maximum(_tree_dot(p, Ap), 1e-20)
+        x = {k: x[k] + alpha * p[k] for k in x}
+        r = {k: r[k] - alpha * Ap[k] for k in r}
+        z = M(r)
+        rz_new = _tree_dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        p = {k: z[k] + beta * p[k] for k in p}
+        return x, r, z, p, rz_new
+
+    x, r, z, p, rz = jax.lax.fori_loop(0, cg_iters, body, (x, r, z, p, rz))
+    gain_den = _tree_dot(x, {k: lam * x[k] - g[k] for k in x})
+    return x, gain_den
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _prior_lin(state: BAState, prior_frame, prior_meas):
+    d0 = jnp.zeros(6, state.cam_T.dtype)
+    T0 = state.cam_T[prior_frame]
+    r_p = _r_prior(d0, T0, prior_meas)
+    J_p = jax.jacfwd(_r_prior)(d0, T0, prior_meas)
+    return r_p, J_p
+
+
+def ba_gn_step_split(graph: BAGraph, state: BAState, w: BAWeights,
+                     lam, cg_iters: int = 40, n_types: int = 9):
+    """The damped-GN step assembled from the small compilation units."""
+    lin_flat = tuple(
+        _linearize_edge(graph, state, w, i) for i in range(n_types)
+    )
+    cost = sum(o[3] for o in lin_flat)
+    prior = _prior_lin(state, graph.prior_frame, graph.prior_meas)
+    cost = cost + graph.prior_info * jnp.sum(prior[0] * prior[0])
+    d, gain_den = _solve_normal_eq(
+        graph, state, w, lin_flat, prior, lam, cg_iters
+    )
+    return d, cost, gain_den
+
+
 def ba_gn_step(graph: BAGraph, state: BAState, w: BAWeights,
                lam: jnp.ndarray, cg_iters: int = 40):
     """One damped GN step: linearize, solve (H + lam*blockdiag(H)) d = -g
@@ -478,7 +592,6 @@ def run_ba(graph: BAGraph, w: BAWeights, max_iters: int = 20,
         Xs=graph.Xs0, Ls_U=graph.Ls_U0, Ls_w=graph.Ls_w0,
         Xd=graph.Xd0, Ld_U=graph.Ld_U0, Ld_w=graph.Ld_w0,
     )
-    step = jax.jit(ba_gn_step, static_argnames=("cg_iters", "w"))
     cost_fn = jax.jit(_cost_only, static_argnames=("w",))
     retract = jax.jit(_retract)
 
@@ -486,7 +599,9 @@ def run_ba(graph: BAGraph, w: BAWeights, max_iters: int = 20,
     nu = 2.0
     cost = float(cost_fn(graph, state, w))
     for it in range(max_iters):
-        d, _, gain_den = step(graph, state, w, lam, cg_iters=cg_iters)
+        d, _, gain_den = ba_gn_step_split(
+            graph, state, w, lam, cg_iters=cg_iters
+        )
         new_state = retract(state, d)
         new_cost = float(cost_fn(graph, new_state, w))
         rho = (cost - new_cost) / max(float(gain_den), 1e-20)
