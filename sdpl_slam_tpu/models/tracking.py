@@ -347,7 +347,15 @@ class Tracking:
             cand_valid = np.zeros(self.N_CAND, bool)
             cand_valid[:n] = True
         else:
-            cand = np.asarray(fr.grid_sample_uv(h, w, n_points=self.N_CAND))
+            # constant per image size: cache (avoids a device round-trip
+            # per frame)
+            key_hw = (h, w, self.N_CAND)
+            if getattr(self, "_grid_cache_key", None) != key_hw:
+                self._grid_cache = np.asarray(
+                    fr.grid_sample_uv(h, w, n_points=self.N_CAND)
+                )
+                self._grid_cache_key = key_hw
+            cand = self._grid_cache
             cand_valid = np.ones(self.N_CAND, bool)
         if line_detections is None and cfg.use_lines:
             # run the tiled line detector (LSD/EDLines equivalent)
