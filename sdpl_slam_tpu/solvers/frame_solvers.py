@@ -310,6 +310,7 @@ def solve_flow_pose(
     line_weight_thr: int = 100,
     max_iterations: int = 100,
     use_lines: bool = True,
+    rel_tol: float = 1e-7,
 ) -> FlowPoseResult:
     """Joint flow+pose LM with closed-form Schur elimination of flows.
 
@@ -487,7 +488,7 @@ def solve_flow_pose(
         # trust region has collapsed (accepted-step size fell below noise)
         step_sq = dxi @ dxi
         done = (
-            accept & ((cost - new_cost) < 1e-8 * jnp.maximum(cost, 1.0))
+            accept & ((cost - new_cost) < rel_tol * jnp.maximum(cost, 1.0))
         ) | (accept & (step_sq < 1e-16)) | (lam > 1e30)
         return _LMState(
             T=jnp.where(accept, T_new, s.T),
