@@ -1,0 +1,58 @@
+"""KITTI dataset mode: disparity-encoded depth (bf/(d/factor)) end-to-end."""
+
+import numpy as np
+
+from sdpl_slam_tpu.models.system import System
+from sdpl_slam_tpu.utils import metrics
+from sdpl_slam_tpu.utils.config import KITTI
+
+from synthetic import SynthConfig, SynthSequence, synth_settings
+
+
+def test_kitti_disparity_depth_mode():
+    cfg = SynthConfig(n_frames=5, n_objects=1)
+    seq = SynthSequence(cfg)
+    settings = synth_settings(cfg)
+    settings.choose_data = KITTI
+    settings.depth_map_factor = 256.0
+    settings.bf = 120.0
+    settings.run_local_ba = False
+    settings.run_global_ba = False      # keep the test fast
+    settings.boundary_shrink_x = 0      # synthetic objects reach the border
+    settings.boundary_shrink_y = 0
+    sys_ = System(settings, verbose=False)
+    from synthetic import _cam_pose, _obj_pose
+
+    for t in range(4):
+        f = seq.frame(t)
+        # KITTI-format GT rows: [frame, id, B(4), t_camera(3), yaw];
+        # ObjPoseParsingKT lifts them by Twc_gt.  Our boxes don't rotate
+        # in the world and the camera only yaws, so the camera-frame
+        # rotation is R_y(-cam_yaw).
+        T_cw = np.linalg.inv(_cam_pose(cfg, t).astype(np.float64))
+        L_w = _obj_pose(cfg, 0, t).astype(np.float64)
+        t_cam = T_cw[:3, :3] @ L_w[:3, 3] + T_cw[:3, 3]
+        kitti_rows = [np.array(
+            [t, 1, 0, 0, 0, 0, t_cam[0], t_cam[1], t_cam[2], -0.012 * t],
+            np.float32,
+        )]
+        f = f.__class__(**{**f.__dict__, "obj_rows": kitti_rows})
+        # encode metric depth as KITTI-style disparity raw values:
+        # preprocess computes depth = bf / (raw / factor)
+        with np.errstate(divide="ignore"):
+            raw = np.where(
+                f.depth > 0,
+                settings.depth_map_factor * settings.bf / f.depth,
+                0.0,
+            ).astype(np.float32)
+        sys_.track_rgbd(
+            f.gray, raw, f.flow, f.mask, f.gt_pose, f.obj_rows,
+            t * 0.1, 4, line_detections=f.lines,
+        )
+    t_err, r_err = metrics.camera_rpe(
+        sys_.map.camera_poses, sys_.map.camera_poses_gt
+    )
+    assert t_err < 0.02, t_err
+    assert r_err < 0.2, r_err
+    # the object survives the KITTI parsing path too
+    assert any(len(m) > 1 for m in sys_.map.rigid_motions)
