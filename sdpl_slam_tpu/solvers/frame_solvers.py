@@ -144,6 +144,36 @@ def _line_residual_intended(dxi, g, obs4, Xw_s, Xw_e, K, T):
     )
 
 
+def _line_flow_part(g, obs4, ps, pe):
+    """The residual as a function of the 4-dof flow only (projections
+    fixed): the cheap jacfwd target for J_g."""
+    P = obs4[:2] + g[:2]
+    Q = obs4[2:] + g[2:]
+    l = geometry.infinite_line_image(P, Q)
+    return jnp.stack(
+        [geometry.point_to_image_line(ps, l), geometry.point_to_image_line(pe, l)]
+    )
+
+
+def _line_jacobians(g, obs4, xyz_s, xyz_e, ps, pe, l, K):
+    """Closed-form J_xi + small-jacfwd J_g of the intended line residual.
+
+    J_xi rows are l_2d . d(proj)/d(xi) -- the reference's analytic structure
+    (types_six_dof_expmap.cpp:1190-1200 ``der_e_xi = line * der_proj``);
+    d(proj)/d(xi) is the standard SE3 projection Jacobian (the NEGATIVE of
+    :func:`_point_proj_jacobian`, which carries the (obs - pi) sign).
+    Batched over lines.
+    """
+    Jp_s = -_point_proj_jacobian(xyz_s, K.fx, K.fy)     # (M, 2, 6) d proj/d xi
+    Jp_e = -_point_proj_jacobian(xyz_e, K.fx, K.fy)
+    l2 = l[..., :2]                                     # (M, 2)
+    row0 = jnp.einsum("mk,mki->mi", l2, Jp_s, precision=_HI)
+    row1 = jnp.einsum("mk,mki->mi", l2, Jp_e, precision=_HI)
+    Jlx = jnp.stack([row0, row1], axis=1)               # (M, 2, 6)
+    Jlg = jax.vmap(jax.jacfwd(_line_flow_part))(g, obs4, ps, pe)  # (M, 2, 4)
+    return Jlx, Jlg
+
+
 def inject_depth_noise(key: jax.Array, z: jnp.ndarray) -> jnp.ndarray:
     """Gaussian depth-noise injection used by the non-joint solvers when
     ``addnoise=1`` (Frame::UnprojectStereoStat, /root/reference/src/
@@ -344,14 +374,16 @@ def solve_flow_pose(
     weight0 = jnp.power(2.0, -(n_init_pts // line_weight_thr).astype(dtype))
     delta_line0 = jnp.sqrt(weight0 * 7.815)
 
-    line_jac = jax.vmap(
-        jax.jacfwd(_line_residual_intended, argnums=(0, 1)),
-        in_axes=(None, 0, 0, 0, 0, None, None),
-    )
-    line_res = jax.vmap(
-        _line_residual_intended, in_axes=(None, 0, 0, 0, 0, None, None)
-    )
-    zeros6 = jnp.zeros(6, dtype)
+    def line_parts(T, g):
+        xyz_s = lie.transform_point(T, Xw_s)
+        xyz_e = lie.transform_point(T, Xw_e)
+        ps = geometry.project(K, xyz_s)
+        pe = geometry.project(K, xyz_e)
+        P = lines.obs[:, :2] + g[:, :2]
+        Q = lines.obs[:, 2:] + g[:, 2:]
+        l = geometry.infinite_line_image(P, Q)
+        e0 = geometry.point_to_image_line(ps, l)
+        return xyz_s, xyz_e, ps, pe, l, e0
 
     def residuals_and_cost(T, f, g, delta_line):
         """Total robustified cost + per-edge chi2 (for gating)."""
@@ -361,10 +393,10 @@ def solve_flow_pose(
         r_f = f - points.flow0
         chi2_f = flow_prior_info * jnp.sum(r_f * r_f, axis=-1)
 
-        r_l2 = line_res(zeros6, g, lines.obs, Xw_s, Xw_e, K, T)  # (M,2)
         # reference quirk: second component identically zero in the error;
         # invalid padded lines hard-zeroed (0 * NaN would poison the cost)
-        r_l = r_l2.at[:, 1].set(0.0)
+        _, _, _, _, _, e0 = line_parts(T, g)
+        r_l = jnp.stack([e0, jnp.zeros_like(e0)], axis=-1)
         r_l = jnp.where(lines.valid[:, None], jnp.nan_to_num(r_l), 0.0)
         chi2_l = line_proj_info * jnp.sum(r_l * r_l, axis=-1)
         r_g = g - lines.flow0
@@ -403,7 +435,10 @@ def solve_flow_pose(
         bx_p_schur = jnp.einsum("nik,nk,n->i", Hxf, bf, inv_hff, precision=_HI)
 
         # --- lines ---
-        (Jlx, Jlg) = line_jac(zeros6, g, lines.obs, Xw_s, Xw_e, K, T)
+        xyz_s, xyz_e, ps, pe, l_img, _ = line_parts(T, g)
+        (Jlx, Jlg) = _line_jacobians(
+            g, lines.obs, xyz_s, xyz_e, ps, pe, l_img, K
+        )
         # (M,2,6), (M,2,4); residual for b has zeroed 2nd component.
         # Hard-zero invalid lines: padding may produce non-finite Jacobians
         # and 0 * NaN would poison the reductions.
