@@ -19,7 +19,6 @@ The readers return numpy arrays; staging to device happens in prefetch.py.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Optional

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.geometry import Intrinsics
 
 
 def _lookup(img: np.ndarray, uv: np.ndarray):

@@ -16,7 +16,7 @@ optical-flow-driven (SURVEY.md section 2.1 ORBextractor row).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

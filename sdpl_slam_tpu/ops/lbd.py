@@ -14,8 +14,6 @@ comparisons into a 256-bit code compatible with
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import geometry, lie
+from . import geometry
 from .geometry import Intrinsics
 
 _HI = jax.lax.Precision.HIGHEST
