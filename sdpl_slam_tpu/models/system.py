@@ -67,6 +67,42 @@ class System:
             point_detections=point_detections,
         )
 
+    def save_checkpoint(self, path: str | Path) -> None:
+        """Persist the full mid-run state (map history + tracker state) so a
+        long sequence can resume.  The reference has no checkpointing
+        (SURVEY.md section 5); this is new capability."""
+        import pickle
+
+        t = self.tracker
+        blob = dict(
+            f_id=t.f_id, max_id=t.max_id, velocity=t.velocity,
+            origin_inv=t.origin_inv, last=t.last, last_meta=t.last_meta,
+            last_mask=t.last_mask_np, last_flow=t.last_flow_np,
+            oline_label=getattr(t, "_oline_label", None),
+        )
+        with open(path, "wb") as f:
+            pickle.dump({"tracker": blob, "map": self.map}, f,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+
+    def load_checkpoint(self, path: str | Path) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        t = self.tracker
+        tr = blob["tracker"]
+        t.f_id = tr["f_id"]
+        t.max_id = tr["max_id"]
+        t.velocity = tr["velocity"]
+        t.origin_inv = tr["origin_inv"]
+        t.last = tr["last"]
+        t.last_meta = tr["last_meta"]
+        t.last_mask_np = tr["last_mask"]
+        t.last_flow_np = tr["last_flow"]
+        if tr["oline_label"] is not None:
+            t._oline_label = tr["oline_label"]
+        t.map = blob["map"]
+
     def save_results(self, out_dir: str | Path, plots: bool = False) -> None:
         """Write the 7 result txt files + timing summary
         (System::SaveResults, System.cc:66-244), the Metrix_error.txt
