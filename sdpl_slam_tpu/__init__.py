@@ -32,17 +32,17 @@ import jax as _jax
 # that genuinely want bf16 must request it explicitly.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
-# Persistent compilation cache: the batch-BA step is a large program
-# (~60 s remote compile per shape bucket on the tunneled TPU); caching
-# makes every bucket a one-time cost across processes and rounds.
+# Optional persistent compilation cache (opt-in via SDPL_JAX_CACHE=<dir>).
+# Not enabled by default: the axon remote TPU compiler does not persist its
+# executables, and CPU AOT artifacts written by one machine can be loaded
+# by another with mismatched ISA features (observed SIGILL-risk warnings).
 import os as _os
 
-_cache_dir = _os.environ.get(
-    "SDPL_JAX_CACHE", _os.path.expanduser("~/.cache/sdpl_slam_tpu_jax")
-)
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+_cache_dir = _os.environ.get("SDPL_JAX_CACHE")
+if _cache_dir:
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass

@@ -39,7 +39,10 @@ class LineDetectConfig(NamedTuple):
     grad_threshold: float = 30.0     # ~2*5.2 quantization of LSD (q=2)
     tile: int = 16
     min_support: int = 10            # edge pixels per tile
-    min_anisotropy: float = 12.0     # lambda1/lambda2 of the scatter matrix
+    # scatter anisotropy gate: modest, because the orientation-coherence
+    # filter (LSD's 22.5 deg tolerance) is the primary noise rejector and
+    # short partial-tile strokes legitimately have lambda1/lambda2 ~ 5
+    min_anisotropy: float = 4.0
     merge_rounds: int = 4
     merge_angle_cos: float = 0.985   # ~10 deg
     merge_lateral: float = 2.5       # px
@@ -101,13 +104,58 @@ class Segments(NamedTuple):
 
 
 def _tile_fit(edge: jnp.ndarray, mag: jnp.ndarray, tile: int,
-              min_support: int, min_anisotropy: float):
-    """Weighted-PCA segment fit per tile.  Returns per-tile segment grid
-    (gh, gw, 4) + validity."""
+              min_support: int, min_anisotropy: float,
+              gx: jnp.ndarray = None, gy: jnp.ndarray = None,
+              angle_tol_deg: float = 22.5):
+    """Weighted-PCA segment fit per tile with LSD-style orientation
+    coherence: only edge pixels whose level-line angle lies within
+    ``angle_tol_deg`` of the tile's dominant orientation contribute (the
+    region-growing tolerance of LSD, /root/reference/src/
+    Lineextractor.cc:62 ``ang_th 22.5``).  Isolated blobs/corners have
+    incoherent orientations and are excluded.  Returns per-tile segment
+    grid (gh, gw, 4) + validity."""
     h, w = edge.shape
     gh, gw = h // tile, w // tile
     e = edge[: gh * tile, : gw * tile].astype(jnp.float32)
     m = mag[: gh * tile, : gw * tile] * e
+
+    if gx is not None:
+        # doubled-angle unit vectors of the LEVEL LINE (perpendicular to
+        # the gradient; doubling makes the pi-periodicity a full period)
+        gxc = gx[: gh * tile, : gw * tile]
+        gyc = gy[: gh * tile, : gw * tile]
+        g2 = gxc * gxc + gyc * gyc + 1e-9
+        c2 = (gxc * gxc - gyc * gyc) / g2      # cos(2*theta_grad)
+        s2 = (2.0 * gxc * gyc) / g2            # sin(2*theta_grad)
+
+        def tiles0(a):
+            return (
+                a.reshape(gh, tile, gw, tile).transpose(0, 2, 1, 3)
+                .reshape(gh, gw, tile * tile)
+            )
+
+        tw = tiles0(m)
+        tc2 = tiles0(c2)
+        ts2 = tiles0(s2)
+        wsum0 = jnp.maximum(jnp.sum(tw, -1), 1e-6)
+        mc2 = jnp.sum(tw * tc2, -1) / wsum0
+        ms2 = jnp.sum(tw * ts2, -1) / wsum0
+        nrm = jnp.sqrt(mc2 * mc2 + ms2 * ms2 + 1e-12)
+        mc2, ms2 = mc2 / nrm, ms2 / nrm
+        # cos(2(theta - theta_dom)) > cos(2*tol)
+        import numpy as _np
+
+        cos_tol = float(_np.cos(_np.radians(2 * angle_tol_deg)))
+        coh = (
+            tc2 * mc2[..., None] + ts2 * ms2[..., None]
+        ) > cos_tol
+        # rebuild full-res inlier mask and apply to the weights
+        coh_full = (
+            coh.reshape(gh, gw, tile, tile).transpose(0, 2, 1, 3)
+            .reshape(gh * tile, gw * tile)
+        )
+        e = e * coh_full
+        m = m * coh_full
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (gh * tile, gw * tile), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (gh * tile, gw * tile), 1)
@@ -207,7 +255,7 @@ def detect_lines(img: jnp.ndarray,
     mag = jnp.sqrt(gx * gx + gy * gy)
     edge = _thin_edges(mag, gx, gy, cfg.grad_threshold)
     seg, ok = _tile_fit(edge, mag, cfg.tile, cfg.min_support,
-                        cfg.min_anisotropy)
+                        cfg.min_anisotropy, gx=gx, gy=gy)
 
     # merge rounds over 4 neighbour directions (right, down, down-right,
     # down-left).  Round r looks at stride 2^r (parallel-reduction style:

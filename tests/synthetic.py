@@ -189,15 +189,33 @@ class SynthSequence:
         depth = np.where(np.isfinite(depth), depth, 0.0).astype(np.float32)
         depth = np.clip(depth, 0.0, 80.0)
 
-        # gray image: cheap procedural texture (front-end detections are
-        # injected separately; the pipeline samples features)
-        gray = ((np.sin(us * 0.3) + np.cos(vs * 0.29)) * 40 + 128).astype(
-            np.uint8
-        )
-
         # injected line detections: static structure lines on the wall/
         # ground (exact 3D lines projected into this frame)
         lines = self._line_detections(T_cw)
+
+        # gray image: low-frequency base (gentle gradients, below the line
+        # detector's threshold) + sparse high-contrast dots (FAST corners)
+        # + the scene's structure lines as dark strokes so the in-pipeline
+        # detectors find the same structure the injected detections describe
+        gray = (
+            (np.sin(us * 0.03) + np.cos(vs * 0.029)) * 25 + 128
+        ).astype(np.uint8)
+        dot_rng = np.random.default_rng(17)
+        n_dots = (H * W) // 300
+        dy = dot_rng.integers(1, H - 2, n_dots)
+        dx = dot_rng.integers(1, W - 2, n_dots)
+        val = dot_rng.choice([30, 220], n_dots).astype(np.uint8)
+        for ddy in (0, 1):
+            for ddx in (0, 1):
+                gray[np.clip(dy + ddy, 0, H - 1),
+                     np.clip(dx + ddx, 0, W - 1)] = val
+        try:
+            import cv2
+
+            for (sx, sy, ex, ey) in lines:
+                cv2.line(gray, (int(sx), int(sy)), (int(ex), int(ey)), 20, 2)
+        except Exception:
+            pass
 
         return SynthFrame(
             gray=gray,

@@ -38,7 +38,7 @@ def test_detects_isolated_segments(rng):
         best_cover = 0.0
         aligned = False
         for dt in det:
-            if seg_distance(g, dt) < 3.5:
+            if seg_distance(g, dt) < 4.5:
                 dlen = np.linalg.norm(dt[2:] - dt[:2])
                 # projected overlap of det onto gt
                 u = (g[2:] - g[:2]) / glen
