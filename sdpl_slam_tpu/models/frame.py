@@ -1,4 +1,4 @@
-"""FrameState: fixed-capacity, mask-validated per-frame feature state.
+"""Frame feature ops: fixed-capacity, mask-validated per-frame state.
 
 TPU re-design of the reference ``Frame`` (/root/reference/src/Frame.cc) and
 the per-frame parts of ``Tracking``: instead of ragged ``std::vector``s and
@@ -17,65 +17,10 @@ reference's ``.at<T>((int)y, (int)x)`` accesses.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax.numpy as jnp
 
 from ..ops import geometry, lie
 from ..ops.geometry import Intrinsics
-
-
-class FrameState(NamedTuple):
-    """All per-frame feature state.  Shapes are capacities; `*_valid` masks
-    define which rows are real."""
-
-    # --- static (background) points, cap NS ---
-    stat_uv: jnp.ndarray          # (NS, 2) current-frame pixels
-    stat_depth: jnp.ndarray       # (NS,)
-    stat_flow: jnp.ndarray        # (NS, 2) flow to next frame
-    stat_corres: jnp.ndarray      # (NS, 2) uv + flow
-    stat_valid: jnp.ndarray       # (NS,) bool
-    stat_inlier_id: jnp.ndarray   # (NS,) int32 index into previous frame's
-                                  # static set (-1 = newly added), the
-                                  # reference's nStaInlierID
-    stat_3d: jnp.ndarray          # (NS, 3) world 3D points
-
-    # --- static lines, cap NLS ---
-    line_uv: jnp.ndarray          # (NLS, 4) endpoints (sx, sy, ex, ey)
-    line_depth: jnp.ndarray       # (NLS, 2)
-    line_flow: jnp.ndarray        # (NLS, 4)
-    line_corres: jnp.ndarray      # (NLS, 4)
-    line_valid: jnp.ndarray       # (NLS,) bool
-    line_inlier_id: jnp.ndarray   # (NLS,) int32 (nStaInlierID_line)
-    line_3d: jnp.ndarray          # (NLS, 6) world endpoints (start, end)
-
-    # --- object (dynamic) points, cap NO ---
-    obj_uv: jnp.ndarray           # (NO, 2)
-    obj_depth: jnp.ndarray        # (NO,)
-    obj_flow: jnp.ndarray         # (NO, 2)
-    obj_corres: jnp.ndarray       # (NO, 2)
-    obj_sem: jnp.ndarray          # (NO,) int32 semantic label at the pixel
-    obj_label: jnp.ndarray        # (NO,) int32 tracking label:
-                                  #   -2 unprocessed, -1 outlier, 0 static,
-                                  #   >0 object tracking id (vObjLabel)
-    obj_valid: jnp.ndarray        # (NO,) bool
-    obj_inlier_id: jnp.ndarray    # (NO,) int32 (nDynInlierID)
-    obj_3d: jnp.ndarray           # (NO, 3) world 3D points
-
-    # --- object lines, cap NLO ---
-    oline_uv: jnp.ndarray         # (NLO, 4)
-    oline_depth: jnp.ndarray      # (NLO, 2)
-    oline_flow: jnp.ndarray       # (NLO, 4)
-    oline_corres: jnp.ndarray     # (NLO, 4)
-    oline_sem: jnp.ndarray        # (NLO,) int32
-    oline_label: jnp.ndarray      # (NLO,) int32 (vObjLabel_Line)
-    oline_valid: jnp.ndarray      # (NLO,) bool
-    oline_inlier_id: jnp.ndarray  # (NLO,) int32
-    oline_3d: jnp.ndarray         # (NLO, 6)
-
-    # --- poses ---
-    pose: jnp.ndarray             # (4, 4) T_cw (world -> camera)
-    pose_gt: jnp.ndarray          # (4, 4) T_cw ground truth (origin-aligned)
 
 
 def _ifloor(x):

@@ -59,7 +59,13 @@ class System:
         ``System::TrackRGBD`` (System.cc:51-64); the trajectory canvas of
         the reference API is dropped (visualization is offline here)."""
         if im.ndim == 3:
-            im = im.mean(axis=2).astype(np.uint8)
+            # cvtColor luma weights with the Camera.RGB channel-order flag
+            # (Tracking::GrabImageRGBD, /root/reference/src/
+            # Tracking.cc:224-237): RGB -> [.299, .587, .114], BGR reversed
+            wts = np.array([0.299, 0.587, 0.114], np.float32)
+            if not self.settings.rgb:
+                wts = wts[::-1]
+            im = (im.astype(np.float32) @ wts).round().astype(np.uint8)
         return self.tracker.grab_rgbd(
             im, depthmap, flowmap, masksem, gt_pose, obj_poses_gt,
             timestamp, n_images,

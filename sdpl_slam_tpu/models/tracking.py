@@ -236,7 +236,12 @@ class Tracking:
             front = lie.transform_point(model, X_w)[:, 2] > 0
             return valid & front & (rpe < cfg.pnp_reproj_error)
 
-        @jax.jit
+        # GetInitModelCam's RANSAC budget: the reference runs 500 sequential
+        # AP3P iterations (Tracking.cc:2776); here every hypothesis is solved
+        # in parallel, so ``pnp_iterations`` maps to the hypothesis count.
+        n_hyp_cam = max(int(cfg.pnp_iterations), 8)
+        n_hyp_obj = max(n_hyp_cam // 4, 8)
+
         def init_model_cam(key, velocity, T_lw, last_uv, last_depth,
                            cur_uv, cur_depth, valid):
             """GetInitModelCam (Tracking.cc:2738-2838): RANSAC init vs the
@@ -246,7 +251,7 @@ class Tracking:
             X_c = geometry.backproject(K, cur_uv, cur_depth)
             rs = ransac.ransac_rigid_init(
                 X_w, cur_uv, X_c, valid & (cur_depth > 0), K, key,
-                n_hypotheses=256, reproj_thresh=cfg.pnp_reproj_error,
+                n_hypotheses=n_hyp_cam, reproj_thresh=cfg.pnp_reproj_error,
             )
             model = velocity @ T_lw
             mm_inl = _model_inliers(model, X_w, cur_uv, valid)
@@ -256,7 +261,7 @@ class Tracking:
             subset = jnp.where(use_ransac, rs.inliers, mm_inl)
             return T_init, subset
 
-        self._init_cam = init_model_cam
+        self._init_cam = jax.jit(init_model_cam)
 
         def init_model_obj_one(key, model, T_lw, last_uv, last_depth,
                                cur_uv, cur_depth, valid):
@@ -266,7 +271,7 @@ class Tracking:
             X_c = geometry.backproject(K, cur_uv, cur_depth)
             rs = ransac.ransac_rigid_init(
                 X_w, cur_uv, X_c, valid & (cur_depth > 0), K, key,
-                n_hypotheses=128, reproj_thresh=cfg.pnp_reproj_error,
+                n_hypotheses=n_hyp_obj, reproj_thresh=cfg.pnp_reproj_error,
             )
             mm_inl = _model_inliers(model, X_w, cur_uv, valid)
             mm_n = jnp.sum(mm_inl.astype(jnp.int32))
@@ -274,6 +279,104 @@ class Tracking:
             T_init = jnp.where(use_ransac, rs.pose, model)
             subset = jnp.where(use_ransac, rs.inliers, mm_inl)
             return T_init, subset, jnp.maximum(rs.n_inliers, mm_n)
+
+        # ------------------------------------------------------------------
+        # The FUSED frame step: camera init -> joint camera solve -> scene
+        # flow + per-object static test -> object init -> joint object
+        # solves, ONE device chain with ONE consolidated host pull.  Over
+        # the tunneled TPU every blocking host sync costs a ~31 ms round
+        # trip regardless of payload (<128 KB); the reference's pipeline
+        # order (Tracking.cc:1028-1558) has a host-side label-grouping step
+        # between the camera and object solves, which previously forced two
+        # syncs.  The grouping is moved BEFORE the dispatch (it only needs
+        # the semantic mask, not the pose) and the pose-dependent static
+        # test (GetSceneFlowObj + DynObjTracking's scene-flow fraction,
+        # Tracking.cc:1989-2075/:2528-2560) is computed on device and
+        # returned as a per-bucket fraction, applied on host afterwards.
+        # ------------------------------------------------------------------
+        def scene_flow_static_frac(pose, T_wl, o_obs, o_depth, o_cur_uv,
+                                   o_cur_d, sf_valid):
+            """Fraction of each object's points whose x-z world scene flow
+            is below SFMgThres (y ignored -- Tracking.cc:2537)."""
+            Xp_w = lie.transform_point(
+                T_wl, geometry.backproject(K, o_obs, o_depth)
+            )
+            T_wc = jnp.linalg.inv(pose)
+            Xc_w = lie.transform_point(
+                T_wc, geometry.backproject(K, o_cur_uv, o_cur_d)
+            )
+            f3 = Xc_w - Xp_w
+            sfn = jnp.sqrt(f3[..., 0] ** 2 + f3[..., 2] ** 2)
+            v = sf_valid.astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(v, axis=-1), 1.0)
+            small = v * (sfn < cfg.sf_mg_thres).astype(jnp.float32)
+            return jnp.sum(small, axis=-1) / n
+
+        def fused_cam(key, velocity, T_lw,
+                      s_obs, s_flow0, s_depth, s_cur_uv, s_cur_d, s_valid,
+                      l_obs, l_flow0, l_depth, l_valid):
+            T_init, subset = init_model_cam(
+                key, velocity, T_lw, s_obs, s_depth, s_cur_uv, s_cur_d,
+                s_valid,
+            )
+            pts = fs.PointBundle(obs=s_obs, flow0=s_flow0, depth=s_depth,
+                                 valid=subset)
+            lns = fs.LineBundle(obs=l_obs, flow0=l_flow0, depth=l_depth,
+                                valid=l_valid)
+            T_wl = jnp.linalg.inv(T_lw)
+            res = cam_solve(T_init, T_wl, pts, lns)
+            return res, T_wl
+
+        def fused_track(key, velocity, T_lw,
+                        s_obs, s_flow0, s_depth, s_cur_uv, s_cur_d, s_valid,
+                        l_obs, l_flow0, l_depth, l_valid,
+                        o_obs, o_flow0, o_depth, o_cur_uv, o_cur_d,
+                        o_valid, o_sfvalid,
+                        ol_obs, ol_flow0, ol_depth, ol_valid,
+                        H_prev, use_obj_lines):
+            cam, T_wl = fused_cam(
+                key, velocity, T_lw,
+                s_obs, s_flow0, s_depth, s_cur_uv, s_cur_d, s_valid,
+                l_obs, l_flow0, l_depth, l_valid,
+            )
+            pose = cam.pose
+            static_frac = scene_flow_static_frac(
+                pose, T_wl, o_obs, o_depth, o_cur_uv, o_cur_d, o_sfvalid
+            )
+            # T_init per object: G = T_cw_cur . H_last (motion-model branch
+            # of GetInitModelObj); H_prev is identity for new objects.
+            T_models = jnp.einsum("ij,njk->nik", pose, H_prev)
+            okeys = jax.random.split(jax.random.fold_in(key, 7),
+                                     o_obs.shape[0])
+            T_is, init_inl, init_n = jax.vmap(
+                init_model_obj_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0)
+            )(okeys, T_models, T_lw, o_obs, o_depth, o_cur_uv, o_cur_d,
+              o_valid)
+            opts = fs.PointBundle(obs=o_obs, flow0=o_flow0, depth=o_depth,
+                                  valid=o_valid & init_inl)
+            olns = fs.LineBundle(obs=ol_obs, flow0=ol_flow0, depth=ol_depth,
+                                 valid=ol_valid)
+            res = jax.vmap(obj_solve_one, in_axes=(0, None, 0, 0, None))(
+                T_is, T_wl, opts, olns, use_obj_lines
+            )
+            return (pose, cam.flow, cam.line_flow, cam.point_inlier,
+                    cam.line_inlier, res.pose, res.flow, res.line_flow,
+                    res.point_inlier, res.line_inlier, init_n, static_frac)
+
+        self._fused_track = jax.jit(fused_track, static_argnums=(25,))
+
+        def fused_track_cam_only(key, velocity, T_lw,
+                                 s_obs, s_flow0, s_depth, s_cur_uv, s_cur_d,
+                                 s_valid, l_obs, l_flow0, l_depth, l_valid):
+            cam, _ = fused_cam(
+                key, velocity, T_lw,
+                s_obs, s_flow0, s_depth, s_cur_uv, s_cur_d, s_valid,
+                l_obs, l_flow0, l_depth, l_valid,
+            )
+            return (cam.pose, cam.flow, cam.line_flow, cam.point_inlier,
+                    cam.line_inlier)
+
+        self._fused_cam_only = jax.jit(fused_track_cam_only)
 
 
 
@@ -319,32 +422,109 @@ class Tracking:
                 @ self.origin_inv
             ).astype(np.float32)
 
-        # --- candidates ---
+        # --- detector dispatches (device, async).  Results are consumed
+        # only by the renewal top-up, i.e. AFTER the frame's solve pull, so
+        # they ride the same consolidated sync; the device runs them while
+        # the host does mask/inherit bookkeeping. ---
         t0 = _time.perf_counter()
-        if cfg.use_sample_fea == 0 and point_detections is None:
-            # run the FAST pyramid detector (ORBextractor equivalent)
+        det_pts = None
+        det_lines = None
+        need_fast = cfg.use_sample_fea == 0 and point_detections is None
+        need_lines = line_detections is None and cfg.use_lines
+        if need_fast or need_lines:
+            gray_dev = jnp.asarray(np.ascontiguousarray(gray))
+        if need_fast:
             from ..ops import fast as fast_ops
 
-            fcfg = fast_ops.FastPyramidConfig(
-                n_features=min(cfg.orb_n_features, self.N_CAND),
-                scale_factor=cfg.orb_scale_factor,
-                n_levels=cfg.orb_n_levels,
-                ini_threshold=float(cfg.orb_ini_th_fast),
-                min_threshold=float(cfg.orb_min_th_fast),
+            det_pts = fast_ops.detect_keypoints(gray_dev, self._fast_cfg())
+        if need_lines:
+            from ..ops import lines as line_ops
+
+            det_lines = line_ops.detect_lines(gray_dev, self._line_cfg())
+        for hdl in (det_pts, det_lines):
+            if hdl is not None:
+                for a in jax.tree_util.tree_leaves(hdl):
+                    a.copy_to_host_async()
+
+        # --- mask recovery (UpdateMask, Tracking.cc:4730-4810) ---
+        self.mask_np = np.asarray(mask, np.int32).copy()
+        if self.f_id > 0 and self.last is not None:
+            self._update_mask()
+        # host mirror of the preprocessed depth (dense device->host pulls
+        # are prohibitively slow over the TPU tunnel)
+        self.depth_np = _np_preprocess_depth(
+            np.asarray(depth_raw, np.float32), cfg.choose_data,
+            cfg.depth_map_factor, cfg.bf,
+        )
+        flow_np = np.ascontiguousarray(flow, dtype=np.float32)
+        # object candidates come from the stride-4 mask grid, not the
+        # detector (Frame.cc:769-809) -- selectable before any pull
+        obj_tmp = fh.select_object_points(
+            self.depth_np, flow_np, self.mask_np, cfg.th_depth_obj, self.NO,
+        )
+        timing[0] = (_time.perf_counter() - t0) * 1e3
+
+        gt_objs = [np.asarray(r, np.float32) for r in obj_poses_gt]
+        if self.f_id == 0 or self.last is None:
+            t0 = _time.perf_counter()
+            stat_tmp, line_tmp, oline_tmp = self._finish_selection(
+                det_pts, det_lines, point_detections, line_detections,
+                flow_np, h, w,
             )
-            d_uv, _, d_valid = fast_ops.detect_keypoints(
-                jnp.asarray(gray), fcfg
+            timing[0] += (_time.perf_counter() - t0) * 1e3
+            self._initialize(stat_tmp, line_tmp, obj_tmp,
+                             oline_tmp, pose_gt, gt_objs)
+            pose = np.asarray(self.last["pose"])
+        else:
+            pose = self._track(
+                flow_np, obj_tmp, pose_gt, gt_objs, timing, stop_frame,
+                det_pts, det_lines, point_detections, line_detections,
             )
-            cand = np.zeros((self.N_CAND, 2), np.float32)
-            cand_valid = np.zeros(self.N_CAND, bool)
-            n = min(d_uv.shape[0], self.N_CAND)
-            cand[:n] = np.asarray(d_uv[:n])
-            cand_valid[:n] = np.asarray(d_valid[:n])
+        self.last_mask_np = self.mask_np.copy()
+        self.last_flow_np = np.asarray(flow, np.float32)
+        self.f_id += 1
+        return pose
+
+    # ------------------------------------------------------------------
+    def _fast_cfg(self):
+        from ..ops import fast as fast_ops
+
+        cfg = self.cfg
+        return fast_ops.FastPyramidConfig(
+            n_features=min(cfg.orb_n_features, self.N_CAND),
+            scale_factor=cfg.orb_scale_factor,
+            n_levels=cfg.orb_n_levels,
+            ini_threshold=float(cfg.orb_ini_th_fast),
+            min_threshold=float(cfg.orb_min_th_fast),
+        )
+
+    def _line_cfg(self):
+        from ..ops import lines as line_ops
+
+        return line_ops.LineDetectConfig(max_lines=self.NL_CAND)
+
+    def _finish_selection(self, det_pts, det_lines, point_detections,
+                          line_detections, flow_np, h, w):
+        """Pull detector outputs (already host-cached after the big sync)
+        and run the static point / static line / object line selections
+        (Frame.cc:491-718, :814-875)."""
+        cfg = self.cfg
+        cand = np.zeros((self.N_CAND, 2), np.float32)
+        cand_valid = np.zeros(self.N_CAND, bool)
+        if det_pts is not None:
+            d_uv, _, d_valid = (np.asarray(a) for a in det_pts)
+            # keypoint undistortion (Frame::UndistortKeyPoints,
+            # Frame.cc:1037-1081): identity when all coefficients are zero
+            d_uv = geometry.undistort_points_np(
+                d_uv, cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+                cfg.k1, cfg.k2, cfg.p1, cfg.p2, cfg.k3,
+            )
+            n = min(len(d_uv), self.N_CAND)
+            cand[:n] = d_uv[:n]
+            cand_valid[:n] = d_valid[:n]
         elif point_detections is not None and cfg.use_sample_fea == 0:
-            cand = np.zeros((self.N_CAND, 2), np.float32)
             n = min(len(point_detections), self.N_CAND)
             cand[:n] = point_detections[:n]
-            cand_valid = np.zeros(self.N_CAND, bool)
             cand_valid[:n] = True
         else:
             # constant per image size: cache (avoids a device round-trip
@@ -357,11 +537,14 @@ class Tracking:
                 self._grid_cache_key = key_hw
             cand = self._grid_cache
             cand_valid = np.ones(self.N_CAND, bool)
-        if line_detections is None and cfg.use_lines:
-            # run the tiled line detector (LSD/EDLines equivalent)
+
+        if det_lines is not None:
             from ..ops import lines as line_ops
 
-            line_detections = line_ops.detect_lines_np(jnp.asarray(gray))
+            line_detections = line_ops.merge_components_np(
+                np.asarray(det_lines.uv4), np.asarray(det_lines.valid),
+                self._line_cfg(),
+            )
         lcand = np.zeros((self.NL_CAND, 4), np.float32)
         lcand_valid = np.zeros(self.NL_CAND, bool)
         if line_detections is not None and len(line_detections):
@@ -369,21 +552,6 @@ class Tracking:
             lcand[:n] = line_detections[:n]
             lcand_valid[:n] = True
 
-        # --- mask recovery (UpdateMask, Tracking.cc:4730-4810) ---
-        self.mask_np = np.asarray(mask, np.int32).copy()
-        if self.f_id > 0 and self.last is not None:
-            self._update_mask()
-        # host mirror of the preprocessed depth (dense device->host pulls
-        # are prohibitively slow over the TPU tunnel)
-        self.depth_np = _np_preprocess_depth(
-            np.asarray(depth_raw, np.float32), cfg.choose_data,
-            cfg.depth_map_factor, cfg.bf,
-        )
-
-        # feature selection on host (see frame_host.py deployment note):
-        # the dense->feature transition feeds host bookkeeping, and
-        # device->host pulls are expensive over the TPU tunnel
-        flow_np = np.ascontiguousarray(flow, dtype=np.float32)
         stat_tmp = fh.select_static_points(
             cand, cand_valid, self.depth_np, flow_np, self.mask_np,
             cfg.th_depth_bg, self.NS,
@@ -392,29 +560,11 @@ class Tracking:
             lcand, lcand_valid, self.depth_np, flow_np, self.mask_np,
             cfg.th_depth_bg, self.NLS,
         )
-        obj_tmp = fh.select_object_points(
-            self.depth_np, flow_np, self.mask_np, cfg.th_depth_obj, self.NO,
-        )
         oline_tmp = fh.select_object_lines(
             lcand, lcand_valid, self.depth_np, flow_np, self.mask_np,
             cfg.th_depth_obj, self.NLO,
         )
-        timing[0] = (_time.perf_counter() - t0) * 1e3
-
-        gt_objs = [np.asarray(r, np.float32) for r in obj_poses_gt]
-        if self.f_id == 0 or self.last is None:
-            self._initialize(stat_tmp, line_tmp, obj_tmp,
-                             oline_tmp, pose_gt, gt_objs)
-            pose = np.asarray(self.last["pose"])
-        else:
-            pose = self._track(
-                flow_np, stat_tmp, line_tmp, obj_tmp, oline_tmp,
-                pose_gt, gt_objs, timing, stop_frame,
-            )
-        self.last_mask_np = self.mask_np.copy()
-        self.last_flow_np = np.asarray(flow, np.float32)
-        self.f_id += 1
-        return pose
+        return stat_tmp, line_tmp, oline_tmp
 
     # ------------------------------------------------------------------
     def _update_mask(self):
@@ -512,12 +662,13 @@ class Tracking:
         m.camera_poses_gt.append(_EYE4.copy())
 
     # ------------------------------------------------------------------
-    def _track(self, flow_np, stat_tmp, line_tmp, obj_tmp, oline_tmp,
-               pose_gt, gt_objs, timing, stop_frame):
+    def _track(self, flow_np, obj_tmp, pose_gt, gt_objs, timing, stop_frame,
+               det_pts, det_lines, point_detections, line_detections):
         import time as _time
 
         cfg = self.cfg
         last = self.last
+        h, w = self.mask_np.shape
 
         # ---- inherit from last frame (host; Tracking.cc:269-473) ----
         (s_uv, s_d, l_uv, l_d, o_uv, o_d, o_sem, ol_uv, ol_d,
@@ -531,46 +682,50 @@ class Tracking:
         o_v = last["obj_valid"]
         ol_v = last["oline_valid"]
 
-        # ================= CAMERA =================
-        t0 = _time.perf_counter()
         T_lw_np = last["pose"]
-        T_wl_np = np.linalg.inv(T_lw_np).astype(np.float32)
-        T_wl = jnp.asarray(T_wl_np)
         last_s_valid = s_v & (last["stat_depth"] > 0) & (s_d > 0)
-        velocity = jnp.asarray(
-            self.velocity if self.velocity is not None else _EYE4
-        )
-        key = jax.random.PRNGKey(self.f_id)
-        T_init, subset = self._init_cam(
-            key, velocity, jnp.asarray(T_lw_np),
-            jnp.asarray(last["stat_uv"]), jnp.asarray(last["stat_depth"]),
-            jnp.asarray(s_uv), jnp.asarray(s_d), jnp.asarray(last_s_valid),
-        )
-
         line_ok = fh.line_track_filter(l_uv, l_v, self.depth_np, self.mask_np)
-        pts = fs.PointBundle(
-            obs=jnp.asarray(last["stat_uv"]),
-            flow0=jnp.asarray(last["stat_flow"]),
-            depth=jnp.asarray(last["stat_depth"]),
-            valid=subset,
+        l_use = l_v & (last["line_depth"].min(axis=-1) > 0) & line_ok
+        velocity_np = self.velocity if self.velocity is not None else _EYE4
+        key = jax.random.PRNGKey(self.f_id)
+
+        # ---- group objects by semantic label (host, PRE-dispatch;
+        # the mask-only parts of DynObjTracking: Tracking.cc:2112-2523) ----
+        t0 = _time.perf_counter()
+        sf_valid = (
+            o_v & last["obj_valid"] & (last["obj_sem"] > 0) & (o_sem > 0)
         )
-        lns = fs.LineBundle(
-            obs=jnp.asarray(last["line_uv"]),
-            flow0=jnp.asarray(last["line_flow"]),
-            depth=jnp.asarray(last["line_depth"]),
-            valid=jnp.asarray(
-                l_v & (last["line_depth"].min(axis=-1) > 0) & line_ok
-            ),
+        groups = self._group_objects(
+            o_uv, o_d, o_sem, sf_valid, ol_uv, ol_sem, ol_v
         )
+        buckets = self._build_buckets(groups, o_uv, o_d, ol_uv, sf_valid)
+        timing[2] = (_time.perf_counter() - t0) * 1e3
+
+        t0 = _time.perf_counter()
         if cfg.use_joint_optimization:
-            res = self._cam_solve(T_init, T_wl, pts, lns)
-            # one consolidated device->host pull
-            pose_np, res_flow, res_lflow, stat_track_ok, line_track_ok = (
-                jax.device_get(
-                    (res.pose, res.flow, res.line_flow,
-                     res.point_inlier, res.line_inlier)
-                )
+            # ======= ONE fused device dispatch + ONE consolidated pull ====
+            outs = self._dispatch_fused(
+                key, velocity_np, T_lw_np, last, s_uv, s_d, last_s_valid,
+                l_use, buckets,
             )
+            for a in outs:
+                a.copy_to_host_async()
+            # host work overlapped with the device chain + transfer:
+            # nothing structural remains (selection needs the detector
+            # pull), so the overlap budget goes to the detector merge prep
+            pulled = jax.device_get(outs)
+            if buckets is None:
+                (pose_np, res_flow, res_lflow, stat_track_ok,
+                 line_track_ok) = pulled
+                obj_pulled = None
+            else:
+                (pose_np, res_flow, res_lflow, stat_track_ok, line_track_ok,
+                 o_G, o_flow, o_lflow, o_pinl, o_linl, init_n,
+                 static_frac) = pulled
+                n_obj = len(groups)
+                obj_pulled = (o_G[:n_obj], o_flow[:n_obj], o_lflow[:n_obj],
+                              o_pinl[:n_obj], o_linl[:n_obj],
+                              init_n[:n_obj], static_frac[:n_obj])
             # update tracked positions from optimized flow
             # (Optimizer.cc:6796)
             s_uv = np.where(
@@ -581,9 +736,25 @@ class Tracking:
             )
         else:
             # bJoint=false: PoseOptimizationNewWithLines
-            # (Optimizer.cc:5900) on fixed last-frame 3D structure
+            # (Optimizer.cc:5900) on fixed last-frame 3D structure, with
+            # the reference's Gaussian depth-noise injection
+            # (UnprojectStereoStat(.., addnoise=1), Optimizer.cc:5982;
+            # Frame.cc:1140-1150, sigma = z^2/(725*0.5)*0.15).
+            T_init, subset = self._init_cam(
+                key, jnp.asarray(velocity_np), jnp.asarray(T_lw_np),
+                jnp.asarray(last["stat_uv"]), jnp.asarray(last["stat_depth"]),
+                jnp.asarray(s_uv), jnp.asarray(s_d),
+                jnp.asarray(last_s_valid),
+            )
+            depth_n = last["stat_depth"]
+            if cfg.nonjoint_add_noise:
+                nrng = np.random.default_rng(self.f_id)
+                sigma = depth_n * depth_n / (725.0 * 0.5) * 0.15
+                depth_n = (
+                    depth_n + sigma * nrng.standard_normal(depth_n.shape)
+                ).astype(np.float32)
             X_w = _np_world_points(
-                self.K, T_lw_np, last["stat_uv"], last["stat_depth"]
+                self.K, T_lw_np, last["stat_uv"], depth_n
             )
             l3d = last["line_3d"]
             lcoef = np.asarray(geometry.infinite_line_image(
@@ -592,12 +763,13 @@ class Tracking:
             res = self._cam_pose_only(
                 T_init, jnp.asarray(X_w), jnp.asarray(s_uv), subset,
                 jnp.asarray(l3d[:, :3]), jnp.asarray(l3d[:, 3:]),
-                jnp.asarray(lcoef),
-                jnp.asarray(l_v & (last["line_depth"].min(axis=-1) > 0)
-                            & line_ok),
+                jnp.asarray(lcoef), jnp.asarray(l_use),
             )
             pose_np, stat_track_ok, line_track_ok = jax.device_get(
                 (res.pose, res.point_inlier, res.line_inlier)
+            )
+            obj_pulled = self._dispatch_objects_legacy(
+                key, pose_np, T_lw_np, buckets, len(groups)
             )
         timing[1] = (_time.perf_counter() - t0) * 1e3
 
@@ -605,31 +777,14 @@ class Tracking:
         self.velocity = (pose_np @ np.linalg.inv(last["pose"])).astype(
             np.float32
         )
-        pose = jnp.asarray(pose_np)
 
-        # ================= OBJECTS =================
+        # ---- commit object labels + build per-object meta (the
+        # pose-dependent tail of DynObjTracking + Tracking.cc:1277-1528) ----
         t0 = _time.perf_counter()
-        # GetSceneFlowObj (host): world 3D flow per object point
-        Xp_world = _np_world_points(
-            self.K, T_lw_np, last["obj_uv"], last["obj_depth"]
+        obj_label, oline_label, obj_meta = self._commit_objects(
+            groups, obj_pulled, pose_np, pose_gt, gt_objs, last
         )
-        Xc_world = _np_world_points(self.K, pose_np, o_uv, o_d)
-        flow3d = Xc_world - Xp_world
-        sf_valid = (
-            o_v & last["obj_valid"] & (last["obj_sem"] > 0) & (o_sem > 0)
-        )
-        obj_label = self._dyn_obj_tracking(
-            o_uv, o_sem, sf_valid, flow3d, o_d, ol_uv, ol_sem, ol_v,
-        )
-        timing[2] = (_time.perf_counter() - t0) * 1e3
-
-        # ---- per-object motion ----
-        t0 = _time.perf_counter()
-        (obj_results, obj_meta) = self._object_motions(
-            obj_label, o_uv, o_d, o_sem, ol_uv, ol_d, ol_sem,
-            pose, T_wl, last, gt_objs, pose_gt,
-        )
-        timing[3] = (_time.perf_counter() - t0) * 1e3
+        self._oline_label = oline_label
 
         # update object point positions from optimized flows and collect
         # inlier masks
@@ -653,9 +808,16 @@ class Tracking:
                 linl = om["ln_inlier"][: len(lidx)]
                 ol_uv_np[lidx[linl]] = last["oline_uv"][lidx[linl]] + lfl[linl]
                 oline_track_ok[lidx[linl]] = True
+        timing[3] = (_time.perf_counter() - t0) * 1e3
 
         # ================= RENEW =================
         t0 = _time.perf_counter()
+        # detector outputs are host-cached by now (same sync); run the
+        # static/line selections for the renewal top-up
+        stat_tmp, line_tmp, oline_tmp = self._finish_selection(
+            det_pts, det_lines, point_detections, line_detections,
+            flow_np, h, w,
+        )
         new_state = self._renew_frame_info(
             pose_np, flow_np, stat_tmp, line_tmp, obj_tmp, oline_tmp,
             s_uv, s_d, stat_track_ok,
@@ -703,15 +865,18 @@ class Tracking:
         return pose_np
 
     # ------------------------------------------------------------------
-    def _dyn_obj_tracking(self, o_uv, o_sem, sf_valid, flow3d, o_depth,
-                          ol_uv, ol_sem, ol_valid) -> np.ndarray:
-        """DynObjTracking (Tracking.cc:2077-2736) on host numpy (tiny
-        arrays).  Returns per-point tracking labels (vObjLabel)."""
+    def _group_objects(self, o_uv, o_d, o_sem, sf_valid, ol_uv, ol_sem,
+                       ol_valid):
+        """Mask-only half of DynObjTracking (Tracking.cc:2077-2523): group
+        candidate object points by semantic label, reject
+        boundary-dominated groups, and precompute the far/small flags plus
+        the tentative tracking-label association (last-frame majority
+        semantic label -> last motion model, Tracking.cc:2631-2699).  The
+        pose-dependent scene-flow static test runs on device inside the
+        fused step and is applied in :meth:`_commit_objects`."""
         cfg = self.cfg
         h, w = self.mask_np.shape
-        label = np.full(self.NO, -1, np.int32)
-        oline_label = np.full(self.NLO, -1, np.int32)
-
+        last = self.last
         cand = sf_valid & (o_sem > 0)
         uniq = np.unique(o_sem[cand])
         uniq = uniq[uniq > 0]
@@ -720,8 +885,8 @@ class Tracking:
         if cfg.choose_data != KITTI:
             shr_c, shr_r = 0, 0
 
-        last_sem = self.last["obj_sem"]
-        kept = []
+        last_sem = last["obj_sem"]
+        groups = []
         for lab in uniq:
             pidx = np.nonzero(cand & (o_sem == lab))[0]
             lidx = np.nonzero(ol_valid & (ol_sem == lab))[0]
@@ -742,149 +907,211 @@ class Tracking:
                 ).sum()
             if near / max(len(pidx) + len(lidx), 1) > 0.5:
                 continue
-            # static test on x-z scene flow (Tracking.cc:2528-2560)
-            sf_norm = np.sqrt(
-                flow3d[pidx, 0] ** 2 + flow3d[pidx, 2] ** 2
-            )
-            if (sf_norm < cfg.sf_mg_thres).mean() > cfg.sf_ds_thres:
-                label[pidx] = 0
-                oline_label[lidx] = 0
-                continue
-            # far / small rejection (Tracking.cc:2575-2590)
-            if (
-                o_depth[pidx].mean() > cfg.th_depth_obj
+            # far / small flags (Tracking.cc:2575-2590); applied after the
+            # static-test result arrives (static precedes far/small)
+            far_small = (
+                o_d[pidx].mean() > cfg.th_depth_obj
                 or len(pidx) < cfg.min_object_points
-            ):
-                continue
-            kept.append((lab, pidx, lidx))
-
-        # association by last-frame majority semantic label
-        # (Tracking.cc:2631-2699)
-        for lab, pidx, lidx in kept:
+            )
+            # tentative association (committed in _commit_objects; new ids
+            # are allocated only for objects that survive the static test)
             lb_last = last_sem[pidx]
             if len(lidx):
                 lb_last = np.concatenate(
-                    [lb_last, self.last["oline_sem"][lidx]]
+                    [lb_last, last["oline_sem"][lidx]]
                 )
             vals, counts = np.unique(lb_last, return_counts=True)
-            new_lab = int(vals[np.argmax(counts)])
+            assoc_sem = int(vals[np.argmax(counts)])
             assigned = None
             if self.max_id > 1:
                 for k, sem_pos in enumerate(self.last_meta["sem_position"]):
                     if (
-                        sem_pos == new_lab
+                        sem_pos == assoc_sem
                         and self.last_meta["obj_stat"][k]
                     ):
                         assigned = self.last_meta["mod_label"][k]
                         break
-            if assigned is None:
-                assigned = self.max_id
-                self.max_id += 1
-            label[pidx] = assigned
-            oline_label[lidx] = assigned
-
-        self._oline_label = oline_label
-        return label
+            H_prev = (
+                self.last_meta["obj_motion"].get(assigned)
+                if assigned is not None else None
+            )
+            groups.append(dict(
+                sem=int(lab), pidx=pidx, lidx=lidx, far_small=far_small,
+                assigned=assigned, H_prev=H_prev,
+            ))
+        return groups[: self.MAXO]
 
     # ------------------------------------------------------------------
-    def _object_motions(self, obj_label, o_uv, o_d, o_sem, ol_uv, ol_d,
-                        ol_sem, pose, T_wl, last, gt_objs, pose_gt):
-        """Per-object joint flow+motion solves, batched over a fixed
-        max-objects axis (masked vmap; Tracking.cc:1277-1528)."""
-        cfg = self.cfg
-        labels = [
-            int(l) for l in np.unique(obj_label) if l > 0
-        ][: self.MAXO]
-        n_obj = len(labels)
-        obj_meta = []
+    def _build_buckets(self, groups, o_uv, o_d, ol_uv, sf_valid):
+        """Pack the object groups into fixed (MB, P)/(MB, L) device buckets
+        (MB = next power of two).  Returns None when there are no groups."""
+        n_obj = len(groups)
         if n_obj == 0:
-            return None, obj_meta
-
-        oline_label = self._oline_label
+            return None
+        last = self.last
         P, L = self.P_OBJ, self.L_OBJ
-        # bucket the object axis to the next power of two: most frames
-        # carry 1-2 objects, not max_objects -- 4x less padded compute
         MB = min(1 << max(n_obj - 1, 0).bit_length(), self.MAXO)
-        pt_obs = np.zeros((MB, P, 2), np.float32)
-        pt_flow0 = np.zeros((MB, P, 2), np.float32)
-        pt_depth = np.ones((MB, P), np.float32)
-        pt_cur_uv = np.zeros((MB, P, 2), np.float32)
-        pt_cur_d = np.zeros((MB, P), np.float32)
-        pt_valid = np.zeros((MB, P), bool)
-        ln_obs = np.zeros((MB, L, 4), np.float32)
-        ln_flow0 = np.zeros((MB, L, 4), np.float32)
-        ln_depth = np.ones((MB, L, 2), np.float32)
-        ln_valid = np.zeros((MB, L), bool)
-        T_inits = np.tile(_EYE4, (MB, 1, 1))
-
-        pose_np = np.asarray(pose)
+        b = dict(
+            pt_obs=np.zeros((MB, P, 2), np.float32),
+            pt_flow0=np.zeros((MB, P, 2), np.float32),
+            pt_depth=np.ones((MB, P), np.float32),
+            pt_cur_uv=np.zeros((MB, P, 2), np.float32),
+            pt_cur_d=np.zeros((MB, P), np.float32),
+            pt_valid=np.zeros((MB, P), bool),
+            pt_sfvalid=np.zeros((MB, P), bool),
+            ln_obs=np.zeros((MB, L, 4), np.float32),
+            ln_flow0=np.zeros((MB, L, 4), np.float32),
+            ln_depth=np.ones((MB, L, 2), np.float32),
+            ln_valid=np.zeros((MB, L), bool),
+            H_prev=np.tile(_EYE4, (MB, 1, 1)),
+        )
         o_uv_np = np.asarray(o_uv)
-        metas = []
-        for k, lab in enumerate(labels):
-            pidx = np.nonzero(obj_label == lab)[0][:P]
-            lidx = np.nonzero(oline_label == lab)[0][:L]
+        o_d_np = np.asarray(o_d)
+        ol_uv_np = np.asarray(ol_uv)
+        for k, g in enumerate(groups):
+            pidx = g["pidx"][:P]
+            lidx = g["lidx"][:L]
             n, m = len(pidx), len(lidx)
             # the edge unprojects LAST-frame pixels at last depths
-            pt_obs[k, :n] = last["obj_uv"][pidx]
-            pt_depth[k, :n] = last["obj_depth"][pidx]
-            pt_flow0[k, :n] = o_uv_np[pidx] - last["obj_uv"][pidx]
-            pt_cur_uv[k, :n] = o_uv_np[pidx]
-            pt_cur_d[k, :n] = np.asarray(o_d)[pidx]
-            ok = last["obj_depth"][pidx] > 0
-            pt_valid[k, :n] = ok
+            b["pt_obs"][k, :n] = last["obj_uv"][pidx]
+            b["pt_depth"][k, :n] = last["obj_depth"][pidx]
+            b["pt_flow0"][k, :n] = o_uv_np[pidx] - last["obj_uv"][pidx]
+            b["pt_cur_uv"][k, :n] = o_uv_np[pidx]
+            b["pt_cur_d"][k, :n] = o_d_np[pidx]
+            b["pt_valid"][k, :n] = last["obj_depth"][pidx] > 0
+            b["pt_sfvalid"][k, :n] = sf_valid[pidx]
             if m:
-                ln_obs[k, :m] = last["oline_uv"][lidx]
-                ln_depth[k, :m] = last["oline_depth"][lidx]
-                ln_flow0[k, :m] = np.asarray(ol_uv)[lidx] - last["oline_uv"][lidx]
-                ln_valid[k, :m] = last["oline_depth"][lidx].min(axis=1) > 0
-            # init: propagated last motion of this object (GetInitModelObj
-            # motion-model branch, Tracking.cc:2841-2972): G = Tcw_cur *
-            # H_last * inv(Tcw_last)... the solver variable G maps world 3D
-            # (from last frame) into the current camera: G = Tcw_cur @ H.
-            H_last = self.last_meta["obj_motion"].get(lab)
-            if H_last is not None:
-                T_inits[k] = pose_np @ H_last
-            else:
-                T_inits[k] = pose_np
-            metas.append((lab, pidx, lidx))
+                b["ln_obs"][k, :m] = last["oline_uv"][lidx]
+                b["ln_depth"][k, :m] = last["oline_depth"][lidx]
+                b["ln_flow0"][k, :m] = (
+                    ol_uv_np[lidx] - last["oline_uv"][lidx]
+                )
+                b["ln_valid"][k, :m] = (
+                    last["oline_depth"][lidx].min(axis=1) > 0
+                )
+            if g["H_prev"] is not None:
+                b["H_prev"][k] = g["H_prev"]
+        b["any_lines"] = bool(b["ln_valid"].any())
+        return b
 
-        # GetInitModelObj + joint solves, one fused device chain
-        keys = jax.random.split(
-            jax.random.PRNGKey(1000 + self.f_id), MB
+    # ------------------------------------------------------------------
+    def _dispatch_fused(self, key, velocity_np, T_lw_np, last, s_uv, s_d,
+                        last_s_valid, l_use, buckets):
+        """Dispatch the fused frame chain (async); returns the flat tuple
+        of device output arrays."""
+        cam_args = (
+            key, jnp.asarray(velocity_np), jnp.asarray(T_lw_np),
+            jnp.asarray(last["stat_uv"]), jnp.asarray(last["stat_flow"]),
+            jnp.asarray(last["stat_depth"]),
+            jnp.asarray(s_uv), jnp.asarray(s_d), jnp.asarray(last_s_valid),
+            jnp.asarray(last["line_uv"]), jnp.asarray(last["line_flow"]),
+            jnp.asarray(last["line_depth"]), jnp.asarray(l_use),
         )
-        any_lines = bool(ln_valid.any())
+        if buckets is None:
+            return self._fused_cam_only(*cam_args)
+        b = buckets
+        return self._fused_track(
+            *cam_args,
+            jnp.asarray(b["pt_obs"]), jnp.asarray(b["pt_flow0"]),
+            jnp.asarray(b["pt_depth"]), jnp.asarray(b["pt_cur_uv"]),
+            jnp.asarray(b["pt_cur_d"]), jnp.asarray(b["pt_valid"]),
+            jnp.asarray(b["pt_sfvalid"]),
+            jnp.asarray(b["ln_obs"]), jnp.asarray(b["ln_flow0"]),
+            jnp.asarray(b["ln_depth"]), jnp.asarray(b["ln_valid"]),
+            jnp.asarray(b["H_prev"]), b["any_lines"],
+        )
+
+    def _dispatch_objects_legacy(self, key, pose_np, T_lw_np, buckets,
+                                 n_obj):
+        """Object chain for the non-fused (bJoint=false) path: init + joint
+        solves, one dispatch + one pull."""
+        if buckets is None:
+            return None
+        b = buckets
+        keys = jax.random.split(
+            jax.random.PRNGKey(1000 + self.f_id), b["pt_obs"].shape[0]
+        )
+        T_models = np.einsum("ij,njk->nik", pose_np, b["H_prev"]).astype(
+            np.float32
+        )
         results, init_inl, init_n = self._obj_init_solve(
-            keys, jnp.asarray(T_inits), T_wl,
+            keys, jnp.asarray(T_models),
+            jnp.asarray(np.linalg.inv(T_lw_np).astype(np.float32)),
             fs.PointBundle(
-                obs=jnp.asarray(pt_obs), flow0=jnp.asarray(pt_flow0),
-                depth=jnp.asarray(pt_depth), valid=jnp.asarray(pt_valid),
+                obs=jnp.asarray(b["pt_obs"]),
+                flow0=jnp.asarray(b["pt_flow0"]),
+                depth=jnp.asarray(b["pt_depth"]),
+                valid=jnp.asarray(b["pt_valid"]),
             ),
             fs.LineBundle(
-                obs=jnp.asarray(ln_obs), flow0=jnp.asarray(ln_flow0),
-                depth=jnp.asarray(ln_depth), valid=jnp.asarray(ln_valid),
+                obs=jnp.asarray(b["ln_obs"]),
+                flow0=jnp.asarray(b["ln_flow0"]),
+                depth=jnp.asarray(b["ln_depth"]),
+                valid=jnp.asarray(b["ln_valid"]),
             ),
-            jnp.asarray(pt_cur_uv), jnp.asarray(pt_cur_d),
-            any_lines,
+            jnp.asarray(b["pt_cur_uv"]), jnp.asarray(b["pt_cur_d"]),
+            b["any_lines"],
         )
-        # slice to the live object count BEFORE pulling (the padded
-        # max-objects rows would triple the tunnel transfer)
-        poses_G, pt_inl, ln_inl, flows, ln_flows, init_n_np = jax.device_get(
-            (results.pose[:n_obj], results.point_inlier[:n_obj],
-             results.line_inlier[:n_obj], results.flow[:n_obj],
-             results.line_flow[:n_obj], init_n[:n_obj])
+        # host static test (scene flow with the already-known pose)
+        Xp_w = _np_world_points(self.K, T_lw_np, b["pt_obs"], b["pt_depth"])
+        Xc_w = _np_world_points(self.K, pose_np, b["pt_cur_uv"],
+                                b["pt_cur_d"])
+        f3 = Xc_w - Xp_w
+        sfn = np.sqrt(f3[..., 0] ** 2 + f3[..., 2] ** 2)
+        v = b["pt_sfvalid"].astype(np.float32)
+        nv = np.maximum(v.sum(axis=-1), 1.0)
+        static_frac = (v * (sfn < self.cfg.sf_mg_thres)).sum(axis=-1) / nv
+        o_G, o_flow, o_lflow, o_pinl, o_linl, init_n_np = jax.device_get(
+            (results.pose[:n_obj], results.flow[:n_obj],
+             results.line_flow[:n_obj], results.point_inlier[:n_obj],
+             results.line_inlier[:n_obj], init_n[:n_obj])
         )
+        return (o_G, o_flow, o_lflow, o_pinl, o_linl, init_n_np,
+                static_frac[:n_obj])
+
+    # ------------------------------------------------------------------
+    def _commit_objects(self, groups, obj_pulled, pose_np, pose_gt,
+                        gt_objs, last):
+        """Apply the static test, commit tracking labels (allocating new
+        ids for unassociated dynamic objects), and build the per-object
+        meta consumed by renewal and the map (Tracking.cc:2528-2736 +
+        :1277-1528)."""
+        cfg = self.cfg
+        obj_label = np.full(self.NO, -1, np.int32)
+        oline_label = np.full(self.NLO, -1, np.int32)
+        obj_meta = []
+        if obj_pulled is None or not groups:
+            return obj_label, oline_label, obj_meta
+        (o_G, o_flow, o_lflow, o_pinl, o_linl, init_n_np,
+         static_frac) = obj_pulled
 
         inv_pose = np.linalg.inv(pose_np)
         curr_twc_gt = np.linalg.inv(pose_gt)
-        last_twc_gt = np.linalg.inv(self.last["pose_gt"])
+        last_twc_gt = np.linalg.inv(last["pose_gt"])
+        P, L = self.P_OBJ, self.L_OBJ
 
-        for k, (lab, pidx, lidx) in enumerate(metas):
-            n, m = len(pidx), len(lidx)
-            # ground truth motion for this object's semantic label
-            sem_lab = int(np.bincount(
-                np.maximum(o_sem if False else np.asarray(o_sem)[pidx], 0)
-            ).argmax()) if n else 0
-            L_w_p = self._gt_obj_pose(self.last.get("gt_objs", []), sem_lab,
+        for k, g in enumerate(groups):
+            pidx, lidx = g["pidx"], g["lidx"]
+            # static test (Tracking.cc:2528-2560): frac of x-z scene flow
+            # below SFMgThres -> background label 0
+            if float(static_frac[k]) > cfg.sf_ds_thres:
+                obj_label[pidx] = 0
+                oline_label[lidx] = 0
+                continue
+            # far / small rejection (Tracking.cc:2575-2590): label stays -1
+            if g["far_small"]:
+                continue
+            assigned = g["assigned"]
+            if assigned is None:
+                assigned = self.max_id
+                self.max_id += 1
+            obj_label[pidx] = assigned
+            oline_label[lidx] = assigned
+
+            pidx_c, lidx_c = pidx[:P], lidx[:L]
+            n = len(pidx_c)
+            sem_lab = g["sem"]
+            L_w_p = self._gt_obj_pose(last.get("gt_objs", []), sem_lab,
                                       last_twc_gt)
             L_w_c = self._gt_obj_pose(gt_objs, sem_lab, curr_twc_gt)
             stat = True
@@ -899,13 +1126,13 @@ class Tracking:
                 pose_pre = L_w_p
             if int(init_n_np[k]) < cfg.min_pnp_inliers_obj:
                 stat = False           # init failure, Tracking.cc:1387-1399
-            H = (inv_pose @ poses_G[k]).astype(np.float32)
+            H = (inv_pose @ o_G[k]).astype(np.float32)
             if not stat:
                 H = _EYE4.copy()
             centre = (
                 _np_world_points(
-                    self.K, last["pose"], last["obj_uv"][pidx],
-                    last["obj_depth"][pidx],
+                    self.K, last["pose"], last["obj_uv"][pidx_c],
+                    last["obj_depth"][pidx_c],
                 ).mean(axis=0)
                 if n
                 else np.zeros(3, np.float32)
@@ -916,13 +1143,13 @@ class Tracking:
             ) @ centre[:3]
             speed_gt = float(np.linalg.norm(sp_gt_v)) * 36.0
             obj_meta.append(dict(
-                label=lab, sem=sem_lab, stat=stat, H=H, speed_gt=speed_gt,
-                H_gt_body=H_gt_body, pose_pre=pose_pre, centre=centre,
-                pt_idx=pidx, ln_idx=lidx,
-                pt_inlier=pt_inl[k], ln_inlier=ln_inl[k],
-                flow=flows[k], ln_flow=ln_flows[k],
+                label=assigned, sem=sem_lab, stat=stat, H=H,
+                speed_gt=speed_gt, H_gt_body=H_gt_body, pose_pre=pose_pre,
+                centre=centre, pt_idx=pidx_c, ln_idx=lidx_c,
+                pt_inlier=o_pinl[k], ln_inlier=o_linl[k],
+                flow=o_flow[k], ln_flow=o_lflow[k],
             ))
-        return results, obj_meta
+        return obj_label, oline_label, obj_meta
 
     def _gt_obj_pose(self, gt_rows, sem_label, twc_gt):
         """Find the GT pose row matching a semantic label; KITTI rows are in
@@ -1098,12 +1325,14 @@ class Tracking:
         ok_o, m_o, d_o, f_o, c_o = obj_filt(o_uv)
         tracked_labels = [int(x) for x in np.unique(obj_label) if x > 0]
         live_sems = set()
+        label_sem = {}
         for lab in tracked_labels:
             idx = np.nonzero((obj_label == lab) & obj_ok & ok_o)[0]
             sem_now = (
                 int(np.bincount(m_o[idx]).argmax()) if len(idx) else 0
             )
             live_sems.add(sem_now)
+            label_sem[lab] = sem_now
             take = idx[: self.P_OBJ]
             n = len(take)
             if cursor + n > self.NO:
@@ -1171,29 +1400,73 @@ class Tracking:
         oline_label_arr = getattr(
             self, "_oline_label", np.full(self.NLO, -2, np.int32)
         )
+        def _obj_line_dup(cand_uv4, kept_uv4):
+            """Reference object-line dedup gate (Tracking.cc:4584-4602):
+            angle difference < 1 rad AND midpoint distance < 1 px."""
+            if not len(kept_uv4):
+                return np.zeros(len(cand_uv4), bool)
+            a1 = np.arctan2(cand_uv4[:, 3] - cand_uv4[:, 1],
+                            cand_uv4[:, 2] - cand_uv4[:, 0])
+            a2 = np.arctan2(kept_uv4[:, 3] - kept_uv4[:, 1],
+                            kept_uv4[:, 2] - kept_uv4[:, 0])
+            ad = np.abs(a1[:, None] - a2[None, :])
+            ad = np.where(ad > np.pi, 2 * np.pi - ad, ad)
+            m1 = 0.5 * (cand_uv4[:, :2] + cand_uv4[:, 2:])
+            m2 = 0.5 * (kept_uv4[:, :2] + kept_uv4[:, 2:])
+            md = np.linalg.norm(m1[:, None] - m2[None], axis=2)
+            return ((ad < 1.0) & (md < 1.0)).any(axis=1)
+
+        col_ok_all, _, _, _ = (
+            filt_line(col_uv) if col_v.any()
+            else (np.zeros(len(col_uv), bool), None, None, None)
+        )
         for lab in tracked_labels:
             lidx = np.nonzero(
                 (oline_label_arr == lab) & oline_ok & ol_valid
             )[0][: self.L_OBJ]
             n = min(len(lidx), self.NLO - lcursor)
             lidx = lidx[:n]
+            kept_start = lcursor
             nol_uv[lcursor:lcursor + n] = ol_uv[lidx]
             nol_d[lcursor:lcursor + n] = ol_d[lidx]
             nol_sem[lcursor:lcursor + n] = ol_sem[lidx]
             nol_label[lcursor:lcursor + n] = lab
             nol_asso[lcursor:lcursor + n] = lidx
             lcursor += n
-        # top-up object lines from detections
+            # top-up to the per-object cap from this frame's detections on
+            # the SAME semantic label, under this object's tracking label
+            # (Tracking.cc:4562-4608, max_num_obj_line = 100/object)
+            sem_now = label_sem.get(lab, 0)
+            if n < self.L_OBJ and sem_now != 0 and col_v.any():
+                cok = col_v & col_ok_all & (col_s == sem_now)
+                cok &= ~_obj_line_dup(col_uv, nol_uv[kept_start:lcursor])
+                pick = np.nonzero(cok)[0][: self.L_OBJ - n]
+                nn = min(len(pick), self.NLO - lcursor)
+                pick = pick[:nn]
+                nol_uv[lcursor:lcursor + nn] = col_uv[pick]
+                nol_d[lcursor:lcursor + nn] = col_d[pick]
+                nol_f[lcursor:lcursor + nn] = col_f[pick]
+                nol_c[lcursor:lcursor + nn] = col_c[pick]
+                nol_sem[lcursor:lcursor + nn] = col_s[pick]
+                nol_label[lcursor:lcursor + nn] = lab
+                lcursor += nn
+        # lines of NEW semantic labels enter with label -2 alongside the
+        # new-object points (Tracking.cc:4668-4684)
         if col_v.any() and lcursor < self.NLO:
-            pick = np.nonzero(col_v)[0][: self.NLO - lcursor]
-            nn = len(pick)
-            nol_uv[lcursor:lcursor + nn] = col_uv[pick]
-            nol_d[lcursor:lcursor + nn] = col_d[pick]
-            nol_f[lcursor:lcursor + nn] = col_f[pick]
-            nol_c[lcursor:lcursor + nn] = col_c[pick]
-            nol_sem[lcursor:lcursor + nn] = col_s[pick]
-            nol_label[lcursor:lcursor + nn] = -2
-            lcursor += nn
+            for sem_new in [int(x) for x in np.unique(col_s[col_v])
+                            if x != 0]:
+                if sem_new in live_sems:
+                    continue
+                pick = np.nonzero(col_v & (col_s == sem_new))[0]
+                nn = min(len(pick), self.NLO - lcursor)
+                pick = pick[:nn]
+                nol_uv[lcursor:lcursor + nn] = col_uv[pick]
+                nol_d[lcursor:lcursor + nn] = col_d[pick]
+                nol_f[lcursor:lcursor + nn] = col_f[pick]
+                nol_c[lcursor:lcursor + nn] = col_c[pick]
+                nol_sem[lcursor:lcursor + nn] = col_s[pick]
+                nol_label[lcursor:lcursor + nn] = -2
+                lcursor += nn
         oline_valid = np.arange(self.NLO) < lcursor
         # recompute flows/corres for kept object lines at their new positions
         lok, _, _, _ = filt_line(nol_uv)

@@ -261,3 +261,30 @@ def point_to_image_line(pix: jnp.ndarray, line: jnp.ndarray) -> jnp.ndarray:
         + line[..., 1] * pix[..., 1]
         + line[..., 2]
     )
+
+
+def undistort_points_np(uv, fx, fy, cx, cy, k1=0.0, k2=0.0, p1=0.0,
+                        p2=0.0, k3=0.0, iterations=5):
+    """Iterative radial-tangential keypoint undistortion on host numpy --
+    ``Frame::UndistortKeyPoints`` (/root/reference/src/Frame.cc:1037-1081,
+    which delegates to cv::undistortPoints on the detected keypoints).
+    Identity (no copy) when all coefficients are zero, which is the case
+    for every shipped yaml.  ``uv``: (N, 2) pixel coordinates."""
+    import numpy as np
+
+    if k1 == 0.0 and k2 == 0.0 and p1 == 0.0 and p2 == 0.0 and k3 == 0.0:
+        return uv
+    uv = np.asarray(uv, np.float64)
+    x = (uv[:, 0] - cx) / fx
+    y = (uv[:, 1] - cy) / fy
+    x_u, y_u = x.copy(), y.copy()
+    # fixed-point iteration of the OpenCV distortion model inverse
+    for _ in range(iterations):
+        r2 = x_u * x_u + y_u * y_u
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+        dx = 2.0 * p1 * x_u * y_u + p2 * (r2 + 2.0 * x_u * x_u)
+        dy = p1 * (r2 + 2.0 * y_u * y_u) + 2.0 * p2 * x_u * y_u
+        x_u = (x - dx) / radial
+        y_u = (y - dy) / radial
+    out = np.stack([x_u * fx + cx, y_u * fy + cy], axis=1)
+    return out.astype(np.float32)

@@ -319,69 +319,85 @@ def detect_lines(img: jnp.ndarray,
     )
 
 
-def merge_segments_np(uv4, valid, cfg: LineDetectConfig = LineDetectConfig()):
-    """Final greedy collinear merge on host (the fragments from the tiled
-    device stage are few; K<=max_lines).  Returns (uv4, valid) numpy."""
+def merge_components_np(uv4, valid,
+                        cfg: LineDetectConfig = LineDetectConfig()):
+    """Final collinear merge on host: one vectorized all-pairs mergeability
+    test (angle / lateral offset / endpoint gap, the same gates as the
+    device rounds), connected components over that graph (union-find), and
+    per component the extreme endpoint projections onto the longest
+    member's direction.  O(K^2) in vectorized numpy (K <= max_lines), a
+    few ms -- the previous greedy per-segment loop was Python-quadratic and
+    sat on the post-sync critical path of every frame.
+
+    Returns the merged (L, 4) float32 detections (length-filtered).
+    """
     import numpy as np
 
     segs = np.asarray(uv4)[np.asarray(valid)].astype(np.float64)
-    if len(segs) == 0:
-        return segs.astype(np.float32), np.zeros(0, bool)
-    order = np.argsort(
-        -np.linalg.norm(segs[:, 2:] - segs[:, :2], axis=1)
+    k = len(segs)
+    if k == 0:
+        return segs.astype(np.float32).reshape(0, 4)
+    d = segs[:, 2:] - segs[:, :2]
+    ln = np.linalg.norm(d, axis=1) + 1e-9
+    u = d / ln[:, None]
+    nrm = np.stack([-u[:, 1], u[:, 0]], axis=1)
+    mid = 0.5 * (segs[:, :2] + segs[:, 2:])
+
+    cosang = np.abs(u @ u.T)
+    # lateral offset of j's midpoint from i's infinite line
+    rel = mid[None, :, :] - segs[:, None, :2]
+    lat = np.abs(np.einsum("ijk,ik->ij", rel, nrm))
+    # endpoint gap along i's direction
+    t0 = np.einsum("jk,ik->ij", segs[:, :2], u) - np.einsum(
+        "ik,ik->i", segs[:, :2], u
+    )[:, None]
+    t1 = np.einsum("jk,ik->ij", segs[:, 2:], u) - np.einsum(
+        "ik,ik->i", segs[:, :2], u
+    )[:, None]
+    tlo = np.minimum(t0, t1)
+    thi = np.maximum(t0, t1)
+    gap = np.maximum(tlo - ln[:, None], -thi)
+    can = (
+        (cosang > cfg.merge_angle_cos)
+        & ((lat < cfg.merge_lateral) | (lat.T < cfg.merge_lateral))
+        & (gap < cfg.merge_gap)
     )
-    segs = segs[order]
-    alive = np.ones(len(segs), bool)
-    for i in range(len(segs)):
-        if not alive[i]:
-            continue
-        changed = True
-        while changed:
-            changed = False
-            d1 = segs[i, 2:] - segs[i, :2]
-            l1 = np.linalg.norm(d1) + 1e-9
-            u1 = d1 / l1
-            n1 = np.array([-u1[1], u1[0]])
-            cand = np.nonzero(alive)[0]
-            cand = cand[cand != i]
-            if not len(cand):
-                break
-            c = segs[cand]
-            d2 = c[:, 2:] - c[:, :2]
-            l2 = np.linalg.norm(d2, axis=1) + 1e-9
-            cosang = np.abs(d2 @ u1) / l2
-            mid2 = 0.5 * (c[:, :2] + c[:, 2:])
-            lat = np.abs((mid2 - segs[i, :2]) @ n1)
-            t_lo = np.minimum((c[:, :2] - segs[i, :2]) @ u1,
-                              (c[:, 2:] - segs[i, :2]) @ u1)
-            t_hi = np.maximum((c[:, :2] - segs[i, :2]) @ u1,
-                              (c[:, 2:] - segs[i, :2]) @ u1)
-            gap = np.maximum(t_lo - l1, -t_hi)
-            can = (
-                (cosang > cfg.merge_angle_cos)
-                & (lat < cfg.merge_lateral)
-                & (gap < cfg.merge_gap)
-            )
-            for j in cand[can]:
-                # recompute the current extent each absorb (it grows)
-                cur_len = np.linalg.norm(segs[i, 2:] - segs[i, :2])
-                t0 = (segs[j, :2] - segs[i, :2]) @ u1
-                t1 = (segs[j, 2:] - segs[i, :2]) @ u1
-                lo = min(0.0, t0, t1)
-                hi = max(cur_len, t0, t1)
-                segs[i, :2] = segs[i, :2] + lo * u1
-                segs[i, 2:] = segs[i, :2] + (hi - lo) * u1
-                alive[j] = False
-                changed = True
-    out = segs[alive].astype(np.float32)
+    can = can | can.T
+    np.fill_diagonal(can, True)
+
+    # union-find over the sparse mergeable pairs
+    parent = np.arange(k)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ii, jj = np.nonzero(np.triu(can, 1))
+    for a, b in zip(ii, jj):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.array([find(i) for i in range(k)])
+
+    out = []
+    for r in np.unique(roots):
+        members = np.nonzero(roots == r)[0]
+        lead = members[np.argmax(ln[members])]
+        pts = np.concatenate([segs[members, :2], segs[members, 2:]], axis=0)
+        t = (pts - segs[lead, :2]) @ u[lead]
+        lo, hi = t.min(), t.max()
+        a = segs[lead, :2] + lo * u[lead]
+        b = segs[lead, :2] + hi * u[lead]
+        out.append([a[0], a[1], b[0], b[1]])
+    out = np.asarray(out, np.float32).reshape(-1, 4)
     length = np.linalg.norm(out[:, 2:] - out[:, :2], axis=1)
-    keep = length >= cfg.min_length
-    return out[keep], np.ones(int(keep.sum()), bool)
+    return out[length >= cfg.min_length]
 
 
 def detect_lines_np(img, cfg: LineDetectConfig = LineDetectConfig()):
     """Device detection + host final merge -> numpy (L, 4) detections, the
     form consumed by Tracking.grab_rgbd."""
     segs = detect_lines(img, cfg)
-    uv4, valid = merge_segments_np(segs.uv4, segs.valid, cfg)
-    return uv4
+    return merge_components_np(segs.uv4, segs.valid, cfg)

@@ -116,7 +116,7 @@ def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
 
     # ---- static point tracks ----
     sta_tracks = tk.build_tracklets(m.stat_asso[f0:f1])
-    Xs0, sp_cam, sp_pt, sp_meas = [], [], [], []
+    Xs0, sp_cam, sp_pt, sp_meas, sp_slot = [], [], [], [], []
     for tr in sta_tracks:
         if len(tr) < min_track_len:
             continue
@@ -131,6 +131,7 @@ def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
                 first = False
             sp_cam.append(fi)
             sp_pt.append(pid)
+            sp_slot.append(j)
             sp_meas.append(
                 _backproject_np(
                     K,
@@ -150,7 +151,7 @@ def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
     g_Xs_valid = np.arange(Ps) < len(Xs0)
 
     # ---- static line tracks ----
-    Ls_U0, Ls_w0, sl_cam, sl_line, sl_meas = [], [], [], [], []
+    Ls_U0, Ls_w0, sl_cam, sl_line, sl_meas, sl_slot = [], [], [], [], [], []
     if use_lines:
         line_tracks = tk.build_tracklets(m.line_asso[f0:f1])
         for tr in line_tracks:
@@ -174,6 +175,7 @@ def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
                 me = _backproject_np(K, uv4[2:], d2[1])
                 sl_cam.append(fi)
                 sl_line.append(lid)
+                sl_slot.append(j)
                 sl_meas.append(np.concatenate([ms, me]))
             if first:
                 Ls_U0.append(np.eye(3, dtype=dt))
@@ -200,7 +202,7 @@ def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
     dyn_tracks, dyn_obj = tk.build_dynamic_tracklets(
         m.dyn_asso[f0:f1], m.dyn_label[f0:f1]
     )
-    Xd0, dp_cam, dp_pt, dp_meas = [], [], [], []
+    Xd0, dp_cam, dp_pt, dp_meas, dp_slot = [], [], [], [], []
     tern_prev, tern_cur, tern_mot = [], [], []
     for tr, lab in zip(dyn_tracks, dyn_obj):
         if len(tr) < min_track_len:
@@ -216,6 +218,7 @@ def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
             Xd0.append(m.dyn_3d[f_abs][j])
             dp_cam.append(fi)
             dp_pt.append(vid)
+            dp_slot.append(j)
             dp_meas.append(
                 _backproject_np(K, m.dyn_uv[f_abs][j], m.dyn_depth[f_abs][j])
             )
@@ -245,7 +248,7 @@ def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
 
     # ---- dynamic line tracks ----
     Ld_U0, Ld_w0 = [], []
-    dl_cam, dl_line, dl_meas = [], [], []
+    dl_cam, dl_line, dl_meas, dl_slot = [], [], [], []
     ltern_prev, ltern_cur, ltern_mot = [], [], []
     if use_lines:
         dline_tracks, dline_obj = tk.build_dynamic_tracklets(
@@ -272,6 +275,7 @@ def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
                 me = _backproject_np(K, uv4[2:], d2[1])
                 dl_cam.append(fi)
                 dl_line.append(vid)
+                dl_slot.append(j)
                 dl_meas.append(np.concatenate([ms, me]))
                 if prev_vid is not None and fi == prev_frame + 1:
                     mot = mot_index.get((fi, lab))
@@ -336,7 +340,19 @@ def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
         ltern_mot=jnp.asarray(g_ltern_mot),
         ltern_valid=jnp.asarray(g_ltern_valid),
     )
-    meta = dict(f0=f0, f1=f1, mot_keys=mot_keys, n_mot=len(mot_T0))
+    meta = dict(
+        f0=f0, f1=f1, mot_keys=mot_keys, n_mot=len(mot_T0),
+        # observation -> vertex maps for the refined-structure write-back
+        # (the reference's vnFeaMak* tables, Optimizer.cc:5660-5736)
+        sp_map=(np.asarray(sp_cam, np.int32), np.asarray(sp_slot, np.int32),
+                np.asarray(sp_pt, np.int32)),
+        sl_map=(np.asarray(sl_cam, np.int32), np.asarray(sl_slot, np.int32),
+                np.asarray(sl_line, np.int32)),
+        dp_map=(np.asarray(dp_cam, np.int32), np.asarray(dp_slot, np.int32),
+                np.asarray(dp_pt, np.int32)),
+        dl_map=(np.asarray(dl_cam, np.int32), np.asarray(dl_slot, np.int32),
+                np.asarray(dl_line, np.int32)),
+    )
     return graph, meta
 
 
@@ -380,6 +396,35 @@ def _write_back(map_state, state, meta, refined: bool):
                 motions[fi - 1][j] = mot[idx].astype(np.float32)
                 break
 
+    # ---- refined 3D structure write-back ----
+    # Every observation slot that entered the graph receives the optimized
+    # vertex value, so subsequent windows linearize from refined structure
+    # (partial: Optimizer.cc:1123-1143; full: :5658-5736).  Static points/
+    # lines share one vertex per track; dynamic ones are per-observation.
+    def _scatter(field, obs_map, values):
+        cams, slots, vids = obs_map
+        if len(cams) == 0:
+            return
+        for i in np.unique(cams):
+            sel = cams == i
+            field[f0 + int(i)][slots[sel]] = values[vids[sel]]
+
+    def _plucker_from_orthonormal(U, wv):
+        # head = w1 * U[:, 0], tail = w2 * U[:, 1]
+        # (orthonormal2plucker, edge_se3_ortho_line.cpp:314)
+        n = wv[:, 0:1] * U[:, :, 0]
+        d = wv[:, 1:2] * U[:, :, 1]
+        return np.concatenate([n, d], axis=1).astype(np.float32)
+
+    _scatter(m.stat_3d, meta["sp_map"], np.asarray(state.Xs, np.float32))
+    _scatter(m.line_plucker, meta["sl_map"],
+             _plucker_from_orthonormal(np.asarray(state.Ls_U),
+                                       np.asarray(state.Ls_w)))
+    _scatter(m.dyn_3d, meta["dp_map"], np.asarray(state.Xd, np.float32))
+    _scatter(m.dline_plucker, meta["dl_map"],
+             _plucker_from_orthonormal(np.asarray(state.Ld_U),
+                                       np.asarray(state.Ld_w)))
+
 
 def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
                             use_lines: bool = True, verbose: bool = False):
@@ -390,7 +435,12 @@ def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
         min_track_len=(cfg.ba_tracklet_min_len if cfg else 3),
         motion_init_identity=True, prior_info=1e5, use_lines=use_lines,
     )
-    state, cost = bb.run_ba(graph, w, verbose=verbose)
+    state, cost = bb.run_ba(
+        graph, w,
+        max_iters=(cfg.ba_global_iterations if cfg else 300),  # optimize(300)
+        gain_threshold=(cfg.ba_gain_threshold if cfg else 1e-4),
+        verbose=verbose,
+    )
     _write_back(map_state, state, meta, refined=True)
     return cost
 
@@ -408,7 +458,12 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
         motion_init_identity=False, prior_info=1e7,   # I/1e-7, :1463
         use_lines=use_lines,
     )
-    state, cost = bb.run_ba(graph, w, max_iters=10, verbose=verbose)
+    state, cost = bb.run_ba(
+        graph, w,
+        max_iters=(cfg.ba_local_iterations if cfg else 100),  # optimize(100)
+        gain_threshold=(cfg.ba_gain_threshold if cfg else 1e-4),
+        verbose=verbose,
+    )
     _write_back(map_state, state, meta, refined=False)
     # refined trajectory starts from the locally-refined primary one
     for i in range(f0, f1):

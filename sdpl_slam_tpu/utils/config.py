@@ -87,6 +87,10 @@ class Settings:
     pnp_reproj_error: float = 0.4     # Tracking.cc:2777
     pnp_confidence: float = 0.98      # Tracking.cc:2778
     use_joint_optimization: bool = True  # bJoint, Tracking.cc:184
+    # the non-joint solvers unproject with Gaussian depth noise
+    # (UnprojectStereoStat addnoise=1 at Optimizer.cc:5982, sigma =
+    # z^2/(725*0.5)*0.15, Frame.cc:1140-1150)
+    nonjoint_add_noise: bool = True
     stop_frame: Optional[int] = None  # StopFrame, Tracking.cc:185 (None = nImages-1)
     use_lines: bool = True            # #define USE_LINE inside Track()
     min_object_points: int = 150      # Tracking.cc:2581

@@ -39,7 +39,8 @@ def graph():
 def test_sharded_step_matches_single_device(graph):
     """ONE damped-GN step must agree (full LM runs diverge chaotically on
     f32 accept/reject branches; the step is the deterministic unit)."""
-    assert len(jax.devices()) >= 8
+    if len(jax.devices()) < 8:
+        pytest.skip("needs an 8-device mesh (virtual CPU devices)")
     import jax.numpy as jnp
 
     w = bb.BAWeights()
