@@ -34,9 +34,12 @@ def main():
     from sdpl_slam_tpu.utils import metrics
 
     # KITTI-scale: 1242x375, reference caps (1200 bg pts, 800 obj pts, 400
-    # lines), 2 moving objects
+    # lines), 2 moving objects.  Reference-default configuration: FAST
+    # corner detection (UseSampleFeature=0, example/kitti.yaml:58) and line
+    # detection run IN the measured loop every frame, like the reference's
+    # Frame constructor (Frame.cc:314,328) -- nothing is injected.
     cfg = SynthConfig(
-        n_frames=14, n_objects=2, width=1242, height=375,
+        n_frames=16, n_objects=2, width=1242, height=375,
         fx=721.5377, fy=721.5377, cx=609.5593, cy=172.854,
         noise_flow=0.2,
     )
@@ -51,20 +54,23 @@ def main():
     settings.th_depth_bg = 40.0
     settings.th_depth_obj = 25.0
     settings.min_object_points = 150
+    settings.use_sample_fea = 0        # FAST detector in the loop
     settings.run_local_ba = False      # tracking-only FPS (the headline)
 
     seq = SynthSequence(cfg)
     system = System(settings, verbose=False)
 
     n = seq.n_frames - 1
-    warmup = 3
+    warmup = 4
     times = []
     for t in range(n):
         f = seq.frame(t)
+        nxt = seq.frame(t + 1) if t + 1 < n else None
         t0 = time.perf_counter()
         system.track_rgbd(
             f.gray, f.depth, f.flow, f.mask, f.gt_pose, f.obj_rows,
-            t * 0.1, n, line_detections=f.lines,
+            t * 0.1, n,
+            next_image=None if nxt is None else nxt.gray,
         )
         dt = time.perf_counter() - t0
         if t >= warmup:

@@ -12,7 +12,18 @@ solvers always run on device either way.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+
+
+@functools.lru_cache(maxsize=4)
+def _stride_grid(h: int, w: int, step: int):
+    vs, us = np.mgrid[0:h:step, 0:w:step]
+    us = us.ravel()
+    vs = vs.ravel()
+    uv = np.stack([us, vs], -1).astype(np.float32)
+    return us, vs, uv
 
 
 
@@ -55,11 +66,10 @@ def select_static_points(cand_uv, cand_valid, depth, flow, mask,
 
 def select_object_points(depth, flow, mask, th_depth_obj, cap, step=4):
     h, w = mask.shape
-    vs, us = np.mgrid[0:h:step, 0:w:step]
-    uv = np.stack([us.ravel(), vs.ravel()], -1).astype(np.float32)
-    d = depth[vs.ravel(), us.ravel()]
-    m = mask[vs.ravel(), us.ravel()]
-    f = flow[vs.ravel(), us.ravel()]
+    us, vs, uv = _stride_grid(h, w, step)
+    d = depth[vs, us]
+    m = mask[vs, us]
+    f = flow[vs, us]
     corres = uv + f
     keep = (
         (m != 0) & (d > 0) & (d < th_depth_obj)

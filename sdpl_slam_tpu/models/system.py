@@ -54,23 +54,32 @@ class System:
         n_images: int,
         line_detections: Optional[np.ndarray] = None,
         point_detections: Optional[np.ndarray] = None,
+        next_image: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Track one RGB-D frame; returns estimated T_cw.  Mirrors
         ``System::TrackRGBD`` (System.cc:51-64); the trajectory canvas of
-        the reference API is dropped (visualization is offline here)."""
-        if im.ndim == 3:
+        the reference API is dropped (visualization is offline here).
+        ``next_image``: optional prefetched image of frame t+1 -- its
+        feature detectors run during this frame's solve, taking them off
+        the per-frame critical path."""
+
+        def to_gray(img):
+            if img.ndim != 3:
+                return img
             # cvtColor luma weights with the Camera.RGB channel-order flag
             # (Tracking::GrabImageRGBD, /root/reference/src/
             # Tracking.cc:224-237): RGB -> [.299, .587, .114], BGR reversed
             wts = np.array([0.299, 0.587, 0.114], np.float32)
             if not self.settings.rgb:
                 wts = wts[::-1]
-            im = (im.astype(np.float32) @ wts).round().astype(np.uint8)
+            return (img.astype(np.float32) @ wts).round().astype(np.uint8)
+
         return self.tracker.grab_rgbd(
-            im, depthmap, flowmap, masksem, gt_pose, obj_poses_gt,
+            to_gray(im), depthmap, flowmap, masksem, gt_pose, obj_poses_gt,
             timestamp, n_images,
             line_detections=line_detections,
             point_detections=point_detections,
+            next_gray=None if next_image is None else to_gray(next_image),
         )
 
     def save_checkpoint(self, path: str | Path) -> None:

@@ -179,6 +179,7 @@ class Tracking:
                 line_prior_info=cfg.flow_prior_info_cam,
                 max_iterations=cfg.lm_iterations,
                 use_lines=cfg.use_lines,
+                rel_tol=cfg.lm_rel_tol,
             )
 
         self._cam_solve = jax.jit(cam_solve)
@@ -191,6 +192,7 @@ class Tracking:
                 line_prior_info=cfg.flow_prior_info_obj,
                 max_iterations=cfg.lm_iterations,
                 use_lines=use_lines and cfg.use_lines,
+                rel_tol=cfg.lm_rel_tol,
             )
 
         # use_lines static: frames with no valid object lines compile to a
@@ -236,11 +238,14 @@ class Tracking:
             front = lie.transform_point(model, X_w)[:, 2] > 0
             return valid & front & (rpe < cfg.pnp_reproj_error)
 
-        # GetInitModelCam's RANSAC budget: the reference runs 500 sequential
-        # AP3P iterations (Tracking.cc:2776); here every hypothesis is solved
-        # in parallel, so ``pnp_iterations`` maps to the hypothesis count.
-        n_hyp_cam = max(int(cfg.pnp_iterations), 8)
-        n_hyp_obj = max(n_hyp_cam // 4, 8)
+        # GetInitModelCam's RANSAC budget: the reference runs up to 500
+        # sequential AP3P iterations but terminates at 0.98 confidence
+        # (Tracking.cc:2776-2778), i.e. a handful of iterations at typical
+        # >0.5 inlier ratios.  Here every hypothesis is solved in parallel;
+        # 128 simultaneous hypotheses exceed the reference's effective
+        # sample count, with ``pnp_iterations`` as the upper bound.
+        n_hyp_cam = max(min(int(cfg.pnp_iterations), 128), 8)
+        n_hyp_obj = max(n_hyp_cam // 2, 8)
 
         def init_model_cam(key, velocity, T_lw, last_uv, last_depth,
                            cur_uv, cur_depth, valid):
@@ -363,20 +368,58 @@ class Tracking:
                     cam.line_inlier, res.pose, res.flow, res.line_flow,
                     res.point_inlier, res.line_inlier, init_n, static_frac)
 
-        self._fused_track = jax.jit(fused_track, static_argnums=(25,))
+        # Packed-argument wrappers: the ~30 per-frame input arrays are
+        # concatenated into ONE flat f32 buffer on host (one push, one
+        # argument) and sliced apart inside the jit -- slicing at static
+        # offsets is free in XLA, while 30 separate device_put/argument
+        # transfers cost ~8-15 ms of host time per frame over the tunnel.
+        NS, NLS, P, L = self.NS, self.NLS, self.P_OBJ, self.L_OBJ
 
-        def fused_track_cam_only(key, velocity, T_lw,
-                                 s_obs, s_flow0, s_depth, s_cur_uv, s_cur_d,
-                                 s_valid, l_obs, l_flow0, l_depth, l_valid):
-            cam, _ = fused_cam(
-                key, velocity, T_lw,
-                s_obs, s_flow0, s_depth, s_cur_uv, s_cur_d, s_valid,
-                l_obs, l_flow0, l_depth, l_valid,
-            )
+        def _unpack(buf, specs):
+            out = []
+            o = 0
+            for (n, shape, kind) in specs:
+                a = buf[o:o + n]
+                o += n
+                if shape is not None:
+                    a = a.reshape(shape)
+                if kind == "bool":
+                    a = a > 0.5
+                out.append(a)
+            return out
+
+        CAM_SPECS = [
+            (16, (4, 4), "f"), (16, (4, 4), "f"),
+            (NS * 2, (NS, 2), "f"), (NS * 2, (NS, 2), "f"), (NS, None, "f"),
+            (NS * 2, (NS, 2), "f"), (NS, None, "f"), (NS, None, "bool"),
+            (NLS * 4, (NLS, 4), "f"), (NLS * 4, (NLS, 4), "f"),
+            (NLS * 2, (NLS, 2), "f"), (NLS, None, "bool"),
+        ]
+
+        def _obj_specs(MB):
+            return [
+                (MB * P * 2, (MB, P, 2), "f"), (MB * P * 2, (MB, P, 2), "f"),
+                (MB * P, (MB, P), "f"), (MB * P * 2, (MB, P, 2), "f"),
+                (MB * P, (MB, P), "f"), (MB * P, (MB, P), "bool"),
+                (MB * P, (MB, P), "bool"),
+                (MB * L * 4, (MB, L, 4), "f"), (MB * L * 4, (MB, L, 4), "f"),
+                (MB * L * 2, (MB, L, 2), "f"), (MB * L, (MB, L), "bool"),
+                (MB * 16, (MB, 4, 4), "f"),
+            ]
+
+        def fused_track_packed(key, buf, MB, use_obj_lines):
+            cam_args = _unpack(buf, CAM_SPECS + _obj_specs(MB))
+            return fused_track(key, *cam_args, use_obj_lines)
+
+        self._fused_track = jax.jit(fused_track_packed,
+                                    static_argnums=(2, 3))
+
+        def fused_cam_only_packed(key, buf):
+            cam, _ = fused_cam(key, *_unpack(buf, CAM_SPECS))
             return (cam.pose, cam.flow, cam.line_flow, cam.point_inlier,
                     cam.line_inlier)
 
-        self._fused_cam_only = jax.jit(fused_track_cam_only)
+        self._fused_cam_only = jax.jit(fused_cam_only_packed)
 
 
 
@@ -395,12 +438,15 @@ class Tracking:
         n_images: int,
         line_detections: Optional[np.ndarray] = None,
         point_detections: Optional[np.ndarray] = None,
+        next_gray: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Process one frame; returns the estimated camera pose T_cw.
 
         ``line_detections``: optional (L, 4) array of detected segments (the
         LSD stage output; injectable for testing, SURVEY.md 7.2 item 7).
         ``point_detections``: optional (P, 2) detected corners (FAST).
+        ``next_gray``: optional grayscale of frame t+1 (prefetch hint);
+        its detectors run during this frame's solve window.
         """
         cfg = self.cfg
         h, w = gray.shape
@@ -423,28 +469,26 @@ class Tracking:
             ).astype(np.float32)
 
         # --- detector dispatches (device, async).  Results are consumed
-        # only by the renewal top-up, i.e. AFTER the frame's solve pull, so
-        # they ride the same consolidated sync; the device runs them while
-        # the host does mask/inherit bookkeeping. ---
+        # only by the renewal top-up, i.e. AFTER the frame's solve pull.
+        # When the driver supplies ``next_image`` (the prefetcher has it on
+        # disk anyway), frame t+1's detectors are dispatched DURING frame
+        # t's solve window, so their results are host-resident before
+        # frame t+1 even starts -- the detector stream leaves the critical
+        # path entirely (SURVEY.md 2.3: batched front-end ahead of use). ---
         t0 = _time.perf_counter()
-        det_pts = None
-        det_lines = None
         need_fast = cfg.use_sample_fea == 0 and point_detections is None
         need_lines = line_detections is None and cfg.use_lines
-        if need_fast or need_lines:
-            gray_dev = jnp.asarray(np.ascontiguousarray(gray))
-        if need_fast:
-            from ..ops import fast as fast_ops
-
-            det_pts = fast_ops.detect_keypoints(gray_dev, self._fast_cfg())
-        if need_lines:
-            from ..ops import lines as line_ops
-
-            det_lines = line_ops.detect_lines(gray_dev, self._line_cfg())
-        for hdl in (det_pts, det_lines):
-            if hdl is not None:
-                for a in jax.tree_util.tree_leaves(hdl):
-                    a.copy_to_host_async()
+        self._need_det = (need_fast, need_lines)
+        pend = getattr(self, "_pending_det", None)
+        if pend is not None and pend[0] == self.f_id:
+            det_pts = pend[1] if need_fast else None
+            det_lines = pend[2] if need_lines else None
+        else:
+            det_pts, det_lines = self._dispatch_detectors(
+                gray, need_fast, need_lines
+            )
+        self._pending_det = None
+        self._next_gray = next_gray
 
         # --- mask recovery (UpdateMask, Tracking.cc:4730-4810) ---
         self.mask_np = np.asarray(mask, np.int32).copy()
@@ -467,6 +511,7 @@ class Tracking:
         gt_objs = [np.asarray(r, np.float32) for r in obj_poses_gt]
         if self.f_id == 0 or self.last is None:
             t0 = _time.perf_counter()
+            self._predispatch_next_detectors()
             stat_tmp, line_tmp, oline_tmp = self._finish_selection(
                 det_pts, det_lines, point_detections, line_detections,
                 flow_np, h, w,
@@ -484,6 +529,39 @@ class Tracking:
         self.last_flow_np = np.asarray(flow, np.float32)
         self.f_id += 1
         return pose
+
+    # ------------------------------------------------------------------
+    def _dispatch_detectors(self, gray, need_fast, need_lines):
+        """Dispatch FAST + line detection on ``gray`` (async) and request
+        the host copies of their outputs."""
+        det_pts = det_lines = None
+        if need_fast or need_lines:
+            gray_dev = jnp.asarray(np.ascontiguousarray(gray))
+        if need_fast:
+            from ..ops import fast as fast_ops
+
+            det_pts = fast_ops.detect_keypoints(gray_dev, self._fast_cfg())
+        if need_lines:
+            from ..ops import lines as line_ops
+
+            det_lines = line_ops.detect_lines(gray_dev, self._line_cfg())
+        for hdl in (det_pts, det_lines):
+            if hdl is not None:
+                for a in jax.tree_util.tree_leaves(hdl):
+                    a.copy_to_host_async()
+        return det_pts, det_lines
+
+    def _predispatch_next_detectors(self):
+        """If the driver prefetched frame t+1's image, run its detectors
+        now (they ride the device queue behind this frame's solve)."""
+        if getattr(self, "_next_gray", None) is None:
+            return
+        need_fast, need_lines = self._need_det
+        if need_fast or need_lines:
+            self._pending_det = (self.f_id + 1,) + self._dispatch_detectors(
+                self._next_gray, need_fast, need_lines
+            )
+        self._next_gray = None
 
     # ------------------------------------------------------------------
     def _fast_cfg(self):
@@ -702,6 +780,7 @@ class Tracking:
         timing[2] = (_time.perf_counter() - t0) * 1e3
 
         t0 = _time.perf_counter()
+        stat_tmp = line_tmp = oline_tmp = None
         if cfg.use_joint_optimization:
             # ======= ONE fused device dispatch + ONE consolidated pull ====
             outs = self._dispatch_fused(
@@ -710,9 +789,16 @@ class Tracking:
             )
             for a in outs:
                 a.copy_to_host_async()
-            # host work overlapped with the device chain + transfer:
-            # nothing structural remains (selection needs the detector
-            # pull), so the overlap budget goes to the detector merge prep
+            # frame t+1's detectors ride the queue behind this solve
+            self._predispatch_next_detectors()
+            # overlap: the renewal selections consume only the DETECTOR
+            # outputs, which the device finished before the solve started
+            # (dispatch order) and whose transfers were requested at
+            # dispatch -- so this host work runs while the solve computes
+            stat_tmp, line_tmp, oline_tmp = self._finish_selection(
+                det_pts, det_lines, point_detections, line_detections,
+                flow_np, h, w,
+            )
             pulled = jax.device_get(outs)
             if buckets is None:
                 (pose_np, res_flow, res_lflow, stat_track_ok,
@@ -771,6 +857,7 @@ class Tracking:
             obj_pulled = self._dispatch_objects_legacy(
                 key, pose_np, T_lw_np, buckets, len(groups)
             )
+            self._predispatch_next_detectors()
         timing[1] = (_time.perf_counter() - t0) * 1e3
 
         # velocity (Tracking.cc:1177-1183)
@@ -812,12 +899,11 @@ class Tracking:
 
         # ================= RENEW =================
         t0 = _time.perf_counter()
-        # detector outputs are host-cached by now (same sync); run the
-        # static/line selections for the renewal top-up
-        stat_tmp, line_tmp, oline_tmp = self._finish_selection(
-            det_pts, det_lines, point_detections, line_detections,
-            flow_np, h, w,
-        )
+        if stat_tmp is None:   # legacy path: selections not yet run
+            stat_tmp, line_tmp, oline_tmp = self._finish_selection(
+                det_pts, det_lines, point_detections, line_detections,
+                flow_np, h, w,
+            )
         new_state = self._renew_frame_info(
             pose_np, flow_np, stat_tmp, line_tmp, obj_tmp, oline_tmp,
             s_uv, s_d, stat_track_ok,
@@ -997,28 +1083,36 @@ class Tracking:
     # ------------------------------------------------------------------
     def _dispatch_fused(self, key, velocity_np, T_lw_np, last, s_uv, s_d,
                         last_s_valid, l_use, buckets):
-        """Dispatch the fused frame chain (async); returns the flat tuple
-        of device output arrays."""
-        cam_args = (
-            key, jnp.asarray(velocity_np), jnp.asarray(T_lw_np),
-            jnp.asarray(last["stat_uv"]), jnp.asarray(last["stat_flow"]),
-            jnp.asarray(last["stat_depth"]),
-            jnp.asarray(s_uv), jnp.asarray(s_d), jnp.asarray(last_s_valid),
-            jnp.asarray(last["line_uv"]), jnp.asarray(last["line_flow"]),
-            jnp.asarray(last["line_depth"]), jnp.asarray(l_use),
-        )
+        """Pack the frame inputs into one flat f32 buffer, push it, and
+        dispatch the fused frame chain (async); returns the flat tuple of
+        device output arrays."""
+        f32 = np.float32
+        parts = [
+            np.asarray(velocity_np, f32).ravel(),
+            np.asarray(T_lw_np, f32).ravel(),
+            last["stat_uv"].ravel(), last["stat_flow"].ravel(),
+            last["stat_depth"],
+            np.asarray(s_uv, f32).ravel(), np.asarray(s_d, f32),
+            last_s_valid.astype(f32),
+            last["line_uv"].ravel(), last["line_flow"].ravel(),
+            last["line_depth"].ravel(), l_use.astype(f32),
+        ]
+        if buckets is not None:
+            b = buckets
+            parts += [
+                b["pt_obs"].ravel(), b["pt_flow0"].ravel(),
+                b["pt_depth"].ravel(), b["pt_cur_uv"].ravel(),
+                b["pt_cur_d"].ravel(), b["pt_valid"].astype(f32).ravel(),
+                b["pt_sfvalid"].astype(f32).ravel(),
+                b["ln_obs"].ravel(), b["ln_flow0"].ravel(),
+                b["ln_depth"].ravel(), b["ln_valid"].astype(f32).ravel(),
+                b["H_prev"].ravel(),
+            ]
+        buf = jnp.asarray(np.concatenate(parts).astype(f32, copy=False))
         if buckets is None:
-            return self._fused_cam_only(*cam_args)
-        b = buckets
+            return self._fused_cam_only(key, buf)
         return self._fused_track(
-            *cam_args,
-            jnp.asarray(b["pt_obs"]), jnp.asarray(b["pt_flow0"]),
-            jnp.asarray(b["pt_depth"]), jnp.asarray(b["pt_cur_uv"]),
-            jnp.asarray(b["pt_cur_d"]), jnp.asarray(b["pt_valid"]),
-            jnp.asarray(b["pt_sfvalid"]),
-            jnp.asarray(b["ln_obs"]), jnp.asarray(b["ln_flow0"]),
-            jnp.asarray(b["ln_depth"]), jnp.asarray(b["ln_valid"]),
-            jnp.asarray(b["H_prev"]), b["any_lines"],
+            key, buf, buckets["pt_obs"].shape[0], buckets["any_lines"]
         )
 
     def _dispatch_objects_legacy(self, key, pose_np, T_lw_np, buckets,

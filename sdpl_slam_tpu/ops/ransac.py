@@ -5,9 +5,10 @@ AP3P RANSAC (500 iters, 0.4 px, conf 0.98 -- /root/reference/src/
 Tracking.cc:2770-2779 and :2841-2972), then refines with the joint-flow
 optimizer.  AP3P's quartic root-finding maps poorly onto TPU; with RGB-D we
 have current-frame depth, so the TPU-native minimal solver here is 3-point
-3D-3D alignment (Horn/Umeyama, closed-form via batched 3x3 SVD): all
-hypotheses are solved simultaneously on the MXU/VPU with no data-dependent
-control flow.  Candidate scoring keeps the reference's criterion exactly:
+3D-3D alignment via orthonormal triads (exact for minimal samples, pure
+arithmetic): all hypotheses are solved simultaneously on the MXU/VPU with
+no data-dependent control flow.  Candidate scoring keeps the reference's
+criterion exactly:
 reprojection of last-frame 3D through the candidate pose vs the current 2D
 position, inlier at < 0.4 px.  (Same init quality target, different minimal
 solver; final estimates come from the identical joint optimizer.)
@@ -32,16 +33,25 @@ class RansacResult(NamedTuple):
     n_inliers: jnp.ndarray   # scalar int32
 
 
-def _horn_align(P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form rigid alignment T with Q ~= R P + t for one sample of
-    3 correspondences.  P, Q: (3, 3) rows are points."""
-    Pc = P - P.mean(axis=0)
-    Qc = Q - Q.mean(axis=0)
-    H = jnp.matmul(Pc.T, Qc, precision=_HI)
-    U, _, Vt = jnp.linalg.svd(H)
-    d = jnp.linalg.det(jnp.matmul(Vt.T, U.T, precision=_HI))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], H.dtype)).at[2, 2].set(d)
-    R = jnp.matmul(Vt.T, jnp.matmul(D, U.T, precision=_HI), precision=_HI)
+def _triad_align(P: jnp.ndarray, Q: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form rigid alignment T with Q ~= R P + t for one MINIMAL
+    sample of 3 correspondences, via orthonormal triads: build the frame
+    (u, v, u x v) on each triangle and compose R = F_Q F_P^T.  Exact for
+    rigid samples (what RANSAC hypotheses are), pure arithmetic -- no SVD
+    iteration, which dominated the hypothesis kernel's TPU time.
+    Degenerate (collinear) samples produce a garbage rotation that the
+    inlier scoring rejects.  P, Q: (3, 3) rows are points."""
+
+    def frame(A):
+        u = A[1] - A[0]
+        u = u / (jnp.linalg.norm(u) + 1e-12)
+        v = A[2] - A[0]
+        v = v - jnp.dot(v, u) * u
+        v = v / (jnp.linalg.norm(v) + 1e-12)
+        w = jnp.cross(u, v)
+        return jnp.stack([u, v, w], axis=1)
+
+    R = jnp.matmul(frame(Q), frame(P).T, precision=_HI)
     t = Q.mean(axis=0) - R @ P.mean(axis=0)
     T = jnp.eye(4, dtype=P.dtype)
     T = T.at[:3, :3].set(R)
@@ -75,7 +85,7 @@ def ransac_rigid_init(
 
     P = Xl[idx]                      # (S, 3, 3)
     Q = Xc[idx]
-    T = jax.vmap(_horn_align)(P, Q)  # (S, 4, 4)
+    T = jax.vmap(_triad_align)(P, Q)  # (S, 4, 4)
 
     # score: reproject all last-3D through each candidate
     Xh = jnp.concatenate([X_last, jnp.ones((n, 1), dtype)], axis=1)

@@ -537,11 +537,15 @@ def solve_flow_pose(
         )
 
     cost0, _ = residuals_and_cost(T_init, f0, g0, delta_line0)
+    # an empty problem (all-padding vmap lane) can never accept a step ->
+    # without this it would spin the full iteration budget and, under vmap,
+    # stall every other lane with it
+    empty = (jnp.sum(pvalid) + jnp.sum(lvalid)) < 1.0
     state = _LMState(
         T=T_init, f=f0, g=g0,
         lam=initial_lambda(), nu=jnp.asarray(2.0, dtype),
         cost=cost0, it=jnp.asarray(0, jnp.int32),
-        done=jnp.asarray(False),
+        done=empty,
     )
     state = jax.lax.while_loop(cond, body, state)
 

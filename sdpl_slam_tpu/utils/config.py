@@ -104,6 +104,10 @@ class Settings:
     flow_prior_info_obj: float = 0.5  # EdgeFlowPrior info, object solver (:7722)
     line_edge_info: float = 0.1       # flow-line edge info (:6566)
     lm_iterations: int = 100          # optimize(100)
+    # LM early-exit: relative cost improvement below which the per-frame
+    # solver stops (the reference always runs the full 100 iterations; the
+    # solution stops moving at ~1e-5 relative under realistic flow noise)
+    lm_rel_tol: float = 1e-5
 
     # --- Batch BA (Optimizer.cc:3995-4062) ---
     ba_sigma_camera: float = 0.001
