@@ -579,7 +579,18 @@ class Tracking:
     def _line_cfg(self):
         from ..ops import lines as line_ops
 
-        return line_ops.LineDetectConfig(max_lines=self.NL_CAND)
+        cfg = self.cfg
+        # min segment length 0.02*min(w,h), the reference's LSD option
+        # (Lineextractor.cc:70); floored at 8 px for noise robustness.
+        # n_octaves/mode follow the yaml line settings (Tracking.cc:113-118
+        # hard-codes levels=2, extractor 0=LSD / 1=EDLines).
+        min_len = max(8.0, 0.02 * min(cfg.width, cfg.height))
+        return line_ops.LineDetectConfig(
+            max_lines=self.NL_CAND,
+            min_length=min_len,
+            n_octaves=max(1, cfg.line_levels),
+            mode=1 if cfg.line_extractor == 1 else 0,
+        )
 
     def _finish_selection(self, det_pts, det_lines, point_detections,
                           line_detections, flow_np, h, w):

@@ -37,8 +37,8 @@ _HI = jax.lax.Precision.HIGHEST
 
 class LineDetectConfig(NamedTuple):
     grad_threshold: float = 30.0     # ~2*5.2 quantization of LSD (q=2)
-    tile: int = 16
-    min_support: int = 10            # edge pixels per tile
+    tile: int = 8
+    min_support: int = 5             # edge pixels per tile
     # scatter anisotropy gate: modest, because the orientation-coherence
     # filter (LSD's 22.5 deg tolerance) is the primary noise rejector and
     # short partial-tile strokes legitimately have lambda1/lambda2 ~ 5
@@ -49,6 +49,19 @@ class LineDetectConfig(NamedTuple):
     merge_gap: float = 8.0           # px
     min_length: float = 12.0         # final length gate
     max_lines: int = 512
+    # octave pyramid: the reference detects on a 2-level Gaussian pyramid
+    # with scale 2 (/root/reference/src/Lineextractor.cc:84-96,
+    # LSDDetector_custom.cpp:58) -- shallow / low-contrast structure that
+    # fragments at full resolution coheres at half resolution
+    n_octaves: int = 2
+    # endpoint refinement: extend endpoints along the segment direction
+    # while the thinned edge map keeps supporting them (closes the gap
+    # between per-tile fragments so the merge rounds can chain them)
+    refine_steps: int = 12
+    # 0 = LSD-style edge map (threshold + gradient-direction NMS),
+    # 1 = EDLines-style (anchors + directed propagation along level lines;
+    #     /root/reference/src/Lineextractor.cc:100-135, ED_Lib)
+    mode: int = 0
 
 
 def _sobel(img: jnp.ndarray):
@@ -137,9 +150,33 @@ def _tile_fit(edge: jnp.ndarray, mag: jnp.ndarray, tile: int,
         tw = tiles0(m)
         tc2 = tiles0(c2)
         ts2 = tiles0(s2)
-        wsum0 = jnp.maximum(jnp.sum(tw, -1), 1e-6)
-        mc2 = jnp.sum(tw * tc2, -1) / wsum0
-        ms2 = jnp.sum(tw * ts2, -1) / wsum0
+        # dominant orientation by 4-bin histogram over [0, pi), weighted by
+        # magnitude: a line's pixels concentrate in one bin while isolated
+        # blobs/corners spread over all bins, so a single high-contrast blob
+        # cannot hijack the tile's orientation (a straight circular-mean
+        # over doubled angles can be dominated by one strong outlier).
+        import numpy as _np0
+
+        bin_c2 = jnp.asarray(
+            _np0.cos(2 * _np0.radians([0.0, 45.0, 90.0, 135.0])),
+            jnp.float32)
+        bin_s2 = jnp.asarray(
+            _np0.sin(2 * _np0.radians([0.0, 45.0, 90.0, 135.0])),
+            jnp.float32)
+        cos45 = float(_np0.cos(_np0.radians(45.0)))
+        # (gh, gw, P, 4): pixel within 22.5 deg of bin centre
+        inbin = (
+            tc2[..., None] * bin_c2 + ts2[..., None] * bin_s2
+        ) > cos45
+        bin_w = jnp.sum(tw[..., None] * inbin, axis=-2)     # (gh, gw, 4)
+        best = jnp.argmax(bin_w, axis=-1)                   # (gh, gw)
+        sel = jnp.take_along_axis(
+            inbin, best[..., None, None], axis=-1
+        )[..., 0]                                           # (gh, gw, P)
+        twb = tw * sel
+        wsum0 = jnp.maximum(jnp.sum(twb, -1), 1e-6)
+        mc2 = jnp.sum(twb * tc2, -1) / wsum0
+        ms2 = jnp.sum(twb * ts2, -1) / wsum0
         nrm = jnp.sqrt(mc2 * mc2 + ms2 * ms2 + 1e-12)
         mc2, ms2 = mc2 / nrm, ms2 / nrm
         # cos(2(theta - theta_dom)) > cos(2*tol)
@@ -166,36 +203,46 @@ def _tile_fit(edge: jnp.ndarray, mag: jnp.ndarray, tile: int,
             .reshape(gh, gw, tile * tile)
         )
 
-    wgt = tiles(m)
+    wgt0 = tiles(m)
     tx = tiles(xs)
     ty = tiles(ys)
-    wsum = jnp.sum(wgt, -1)
-    wsafe = jnp.maximum(wsum, 1e-6)
-    mx = jnp.sum(wgt * tx, -1) / wsafe
-    my = jnp.sum(wgt * ty, -1) / wsafe
-    dx = tx - mx[..., None]
-    dy = ty - my[..., None]
-    sxx = jnp.sum(wgt * dx * dx, -1) / wsafe
-    syy = jnp.sum(wgt * dy * dy, -1) / wsafe
-    sxy = jnp.sum(wgt * dx * dy, -1) / wsafe
-    # eigen of [[sxx, sxy], [sxy, syy]]
-    tr = sxx + syy
-    det = sxx * syy - sxy * sxy
-    disc = jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 0.0))
-    l1 = tr / 2 + disc
-    l2 = tr / 2 - disc
-    # principal direction: eigenvector of lambda1; when sxy ~ 0 the axes
-    # are already principal -- pick the larger-variance axis
-    off = jnp.abs(sxy) > 1e-9
-    vx = jnp.where(off, l1 - syy, jnp.where(sxx >= syy, 1.0, 0.0))
-    vy = jnp.where(off, sxy, jnp.where(sxx >= syy, 0.0, 1.0))
-    vn = jnp.sqrt(vx * vx + vy * vy + 1e-12)
-    vx, vy = vx / vn, vy / vn
+
+    def _fit(wgt):
+        wsum = jnp.sum(wgt, -1)
+        wsafe = jnp.maximum(wsum, 1e-6)
+        mx = jnp.sum(wgt * tx, -1) / wsafe
+        my = jnp.sum(wgt * ty, -1) / wsafe
+        dx = tx - mx[..., None]
+        dy = ty - my[..., None]
+        sxx = jnp.sum(wgt * dx * dx, -1) / wsafe
+        syy = jnp.sum(wgt * dy * dy, -1) / wsafe
+        sxy = jnp.sum(wgt * dx * dy, -1) / wsafe
+        # eigen of [[sxx, sxy], [sxy, syy]]
+        tr = sxx + syy
+        det = sxx * syy - sxy * sxy
+        disc = jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 0.0))
+        l1 = tr / 2 + disc
+        l2 = tr / 2 - disc
+        # principal direction: eigenvector of lambda1; when sxy ~ 0 the
+        # axes are already principal -- pick the larger-variance axis
+        off = jnp.abs(sxy) > 1e-9
+        vx = jnp.where(off, l1 - syy, jnp.where(sxx >= syy, 1.0, 0.0))
+        vy = jnp.where(off, sxy, jnp.where(sxx >= syy, 0.0, 1.0))
+        vn = jnp.sqrt(vx * vx + vy * vy + 1e-12)
+        return mx, my, vx / vn, vy / vn, l1, l2, dx, dy
+
+    # robust refit: pixels whose orientation matched the dominant bin but
+    # that sit laterally off the fitted line (e.g. one face of a blob) are
+    # dropped and the moments recomputed once
+    mx, my, vx, vy, l1, l2, dx, dy = _fit(wgt0)
+    lat = jnp.abs(dy * vx[..., None] - dx * vy[..., None])
+    wgt = wgt0 * (lat <= 2.0)
+    mx, my, vx, vy, l1, l2, dx, dy = _fit(wgt)
     # extent: min/max projection of edge pixels on v
     proj = dx * vx[..., None] + dy * vy[..., None]
     pmax = jnp.max(jnp.where(wgt > 0, proj, -1e9), -1)
     pmin = jnp.min(jnp.where(wgt > 0, proj, 1e9), -1)
-    count = jnp.sum(tiles(e), -1)
+    count = jnp.sum((wgt > 0).astype(jnp.float32), -1)
     aniso = l1 / jnp.maximum(l2, 1e-6)
     ok = (count >= min_support) & (aniso >= min_anisotropy) & (pmax > pmin)
     s = jnp.stack(
@@ -233,29 +280,199 @@ def _merge_pairs(seg, ok, nbr_seg, nbr_ok, cfg: LineDetectConfig,
     )
     if allow is not None:
         can = can & allow
-    # merged endpoints: extreme projections of all 4 endpoints on d1
+    # merged endpoints: extreme projections of all 4 endpoints on the
+    # LENGTH-WEIGHTED blended direction through the length-weighted
+    # centroid.  Inheriting seg1's direction verbatim amplifies its small
+    # tile-fit angle error over the merged length (a 5 deg error on an
+    # 8 px fragment becomes a 13 px lateral skew at 150 px).
+    u1 = d1 / l1[..., None]
+    u2 = d2 / l2[..., None]
+    sign = jnp.sign(jnp.sum(u1 * u2, -1, keepdims=True))
+    ub = u1 * l1[..., None] + sign * u2 * l2[..., None]
+    ub = ub / (jnp.linalg.norm(ub, axis=-1, keepdims=True) + 1e-9)
+    mid1 = 0.5 * (seg[..., :2] + seg[..., 2:])
+    cen = (mid1 * l1[..., None] + mid2 * l2[..., None]) / (
+        (l1 + l2)[..., None]
+    )
     pts = jnp.stack(
         [seg[..., :2], seg[..., 2:], nbr_seg[..., :2], nbr_seg[..., 2:]], -2
     )                                              # (..., 4, 2)
-    u1 = d1 / l1[..., None]
-    t = jnp.sum((pts - seg[..., None, :2]) * u1[..., None, :], -1)
+    t = jnp.sum((pts - cen[..., None, :]) * ub[..., None, :], -1)
     tmin = jnp.min(t, -1)
     tmax = jnp.max(t, -1)
-    new_s = seg[..., :2] + tmin[..., None] * u1
-    new_e = seg[..., :2] + tmax[..., None] * u1
+    new_s = cen + tmin[..., None] * ub
+    new_e = cen + tmax[..., None] * ub
     merged = jnp.concatenate([new_s, new_e], -1)
     return jnp.where(can[..., None], merged, seg), can
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def detect_lines(img: jnp.ndarray,
-                 cfg: LineDetectConfig = LineDetectConfig()) -> Segments:
-    """Detect line segments; returns fixed-cap (max_lines, 4) + validity."""
+def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """Gaussian blur (binomial 1-2-1 separable) + stride-2 decimation: one
+    octave of the reference's line pyramid (LSDDetector_custom.cpp:58)."""
+    img = img.astype(jnp.float32)
+    p = jnp.pad(img, 1, mode="edge")
+    bx = 0.25 * (p[1:-1, :-2] + 2 * p[1:-1, 1:-1] + p[1:-1, 2:])
+    p2 = jnp.pad(bx, ((1, 1), (0, 0)), mode="edge")
+    b = 0.25 * (p2[:-2] + 2 * p2[1:-1] + p2[2:])
+    return b[::2, ::2]
+
+
+def _ed_edges(mag: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
+              threshold: float, steps: int = 24):
+    """EDLines-style edge map: sparse ANCHORS (strict maxima across the
+    gradient direction, clearing the threshold with margin) grown by
+    directed propagation ALONG the level line, the parallel analog of
+    ED_Lib's anchor + smart-route walk (/root/reference/3rdparty/
+    line_descriptor/src/ED_Lib/ED.cpp).  Each step every lit pixel lights
+    whichever neighbours lie along its level-line direction that themselves
+    clear a low threshold and dominate their lateral triple -- chains grow
+    from anchors along lines only, so texture/noise pixels above threshold
+    but off any chain stay dark (ED's key difference from thresholded NMS).
+    """
+    h, w = mag.shape
+    # level-line direction = perpendicular to gradient
+    ax, ay = jnp.abs(gx), jnp.abs(gy)
+    # quantized as in _thin_edges: 4 directions
+    diag = (ax > 0.4142 * ay) & (ay > 0.4142 * ax)
+    same_sign = (gx * gy) > 0
+    horiz_g = (ax >= ay) & ~diag       # gradient mostly x -> line vertical
+    vert_g = (ay > ax) & ~diag
+
+    p = jnp.pad(mag, 1)
+    c = p[1:-1, 1:-1]
+    n = {
+        "e": p[1:-1, 2:], "w": p[1:-1, :-2],
+        "s": p[2:, 1:-1], "n": p[:-2, 1:-1],
+        "se": p[2:, 2:], "nw": p[:-2, :-2],
+        "ne": p[:-2, 2:], "sw": p[2:, :-2],
+    }
+    # lateral dominance (same NMS predicate as the LSD path)
+    dominant = jnp.where(
+        horiz_g, (c >= n["e"]) & (c >= n["w"]),
+        jnp.where(
+            vert_g, (c >= n["s"]) & (c >= n["n"]),
+            jnp.where(
+                same_sign,
+                (c >= n["se"]) & (c >= n["nw"]),
+                (c >= n["ne"]) & (c >= n["sw"]),
+            ),
+        ),
+    )
+    grow_ok = dominant & (mag > 0.5 * threshold)
+    # anchors: dominant WITH margin over laterals, high threshold (ED's
+    # anchor test: peak exceeds neighbours by ANCHOR_TH)
+    margin = 2.0
+    anchor = jnp.where(
+        horiz_g, (c >= n["e"] + margin) & (c >= n["w"] + margin),
+        jnp.where(
+            vert_g, (c >= n["s"] + margin) & (c >= n["n"] + margin),
+            jnp.where(
+                same_sign,
+                (c >= n["se"] + margin) & (c >= n["nw"] + margin),
+                (c >= n["ne"] + margin) & (c >= n["sw"] + margin),
+            ),
+        ),
+    ) & (mag > threshold)
+
+    # propagation along the level line: the two along-line neighbour
+    # offsets per direction class (dy, dx) and their diagonal tolerance
+    def shift(m, dy, dx):
+        return jnp.roll(m, (dy, dx), axis=(0, 1))
+
+    def step(lit, _):
+        # a pixel joins if it can grow and any along-line neighbour
+        # (w.r.t. ITS OWN direction class, +-1 lateral slack) is lit
+        reach_h = (
+            shift(lit, -1, 0) | shift(lit, 1, 0)
+            | shift(lit, -1, 1) | shift(lit, 1, 1)
+            | shift(lit, -1, -1) | shift(lit, 1, -1)
+        )          # line vertical -> neighbours above/below
+        reach_v = (
+            shift(lit, 0, -1) | shift(lit, 0, 1)
+            | shift(lit, 1, -1) | shift(lit, 1, 1)
+            | shift(lit, -1, -1) | shift(lit, -1, 1)
+        )
+        reach_d1 = (
+            shift(lit, -1, 1) | shift(lit, 1, -1)
+            | shift(lit, -1, 0) | shift(lit, 1, 0)
+            | shift(lit, 0, 1) | shift(lit, 0, -1)
+        )          # line along ne-sw
+        reach_d2 = (
+            shift(lit, -1, -1) | shift(lit, 1, 1)
+            | shift(lit, -1, 0) | shift(lit, 1, 0)
+            | shift(lit, 0, 1) | shift(lit, 0, -1)
+        )
+        reach = jnp.where(
+            horiz_g, reach_h,
+            jnp.where(
+                vert_g, reach_v,
+                jnp.where(same_sign, reach_d1, reach_d2),
+            ),
+        )
+        return lit | (grow_ok & reach), None
+
+    lit, _ = jax.lax.scan(step, anchor, None, length=steps)
+    return lit
+
+
+def _refine_endpoints(seg, ok, edge, mag, steps: int):
+    """Extend each segment's endpoints outward along its direction while
+    the thinned edge map keeps support within +-1 px laterally (sub-pixel
+    endpoint refinement / gap closing; the reference's LSD emits exact
+    region extents, our tile fit truncates at tile borders)."""
+    if steps <= 0:
+        return seg
+    h, w = edge.shape
+    em = (edge & (mag > 0)).astype(jnp.float32)
+    d = seg[..., 2:] - seg[..., :2]
+    ln = jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9
+    u = d / ln                                    # (..., 2) unit dir
+    nrm = jnp.stack([-u[..., 1], u[..., 0]], -1)  # lateral unit
+
+    def sample(pts):
+        # bilinear-free: nearest lookup with clamping; support = max over
+        # lateral offsets {-1, 0, 1}
+        def look(q):
+            x = jnp.clip(jnp.round(q[..., 0]).astype(jnp.int32), 0, w - 1)
+            y = jnp.clip(jnp.round(q[..., 1]).astype(jnp.int32), 0, h - 1)
+            inb = (
+                (q[..., 0] >= 0) & (q[..., 0] <= w - 1)
+                & (q[..., 1] >= 0) & (q[..., 1] <= h - 1)
+            )
+            return em[y, x] * inb
+        s = look(pts)
+        s = jnp.maximum(s, look(pts + nrm[..., None, :]))
+        s = jnp.maximum(s, look(pts - nrm[..., None, :]))
+        return s
+
+    ts = jnp.arange(1, steps + 1, dtype=jnp.float32)
+
+    def extend(base, direction):
+        pts = base[..., None, :] + direction[..., None, :] * ts[:, None]
+        sup = sample(pts)                          # (..., steps)
+        # contiguous support run (allow one-pixel holes: relaxed cumprod)
+        run = jnp.cumprod(jnp.minimum(sup + jnp.roll(sup, -1, -1), 1.0),
+                          axis=-1)
+        ext = jnp.sum(run, -1)
+        return base + direction * ext[..., None]
+
+    new_e = extend(seg[..., 2:], u)
+    new_s = extend(seg[..., :2], -u)
+    refined = jnp.concatenate([new_s, new_e], -1)
+    return jnp.where(ok[..., None], refined, seg)
+
+
+def _detect_octave(img: jnp.ndarray, cfg: LineDetectConfig) -> Segments:
+    """Single-octave detection on ``img``'s own pixel grid."""
     gx, gy = _sobel(img)
     mag = jnp.sqrt(gx * gx + gy * gy)
-    edge = _thin_edges(mag, gx, gy, cfg.grad_threshold)
+    if cfg.mode == 1:
+        edge = _ed_edges(mag, gx, gy, cfg.grad_threshold)
+    else:
+        edge = _thin_edges(mag, gx, gy, cfg.grad_threshold)
     seg, ok = _tile_fit(edge, mag, cfg.tile, cfg.min_support,
                         cfg.min_anisotropy, gx=gx, gy=gy)
+    seg = _refine_endpoints(seg, ok, edge, mag, cfg.refine_steps)
 
     # merge rounds over 4 neighbour directions (right, down, down-right,
     # down-left).  Round r looks at stride 2^r (parallel-reduction style:
@@ -316,6 +533,38 @@ def detect_lines(img: jnp.ndarray,
     return Segments(
         uv4=flat[top], length=length[top],
         valid=valid[top],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_lines(img: jnp.ndarray,
+                 cfg: LineDetectConfig = LineDetectConfig()) -> Segments:
+    """Detect line segments over ``cfg.n_octaves`` pyramid levels; returns
+    fixed-cap (n_octaves * max_lines, 4) + validity, coordinates on the
+    full-resolution grid.  Mirrors the reference's 2-octave Gaussian
+    pyramid detection (/root/reference/src/Lineextractor.cc:84-96); the
+    cross-octave duplicate/merge resolution happens in the host merge
+    (merge_components_np), like BinaryDescriptor's octave fusion."""
+    img = img.astype(jnp.float32)
+    outs = []
+    for o in range(max(1, cfg.n_octaves)):
+        if o > 0:
+            img = _downsample2(img)
+        # shorter structures need fewer support pixels at coarse octaves;
+        # min_length is a full-resolution quantity
+        ocfg = cfg._replace(
+            min_length=cfg.min_length / (2.0 ** o),
+            min_support=max(4, cfg.min_support // (1 + o)),
+        )
+        s = _detect_octave(img, ocfg)
+        scale = jnp.float32(2.0 ** o)
+        outs.append(Segments(
+            uv4=s.uv4 * scale, length=s.length * scale, valid=s.valid,
+        ))
+    return Segments(
+        uv4=jnp.concatenate([s.uv4 for s in outs], 0),
+        length=jnp.concatenate([s.length for s in outs], 0),
+        valid=jnp.concatenate([s.valid for s in outs], 0),
     )
 
 
@@ -384,12 +633,20 @@ def merge_components_np(uv4, valid,
     out = []
     for r in np.unique(roots):
         members = np.nonzero(roots == r)[0]
-        lead = members[np.argmax(ln[members])]
+        # length-weighted orthogonal regression over member endpoints: the
+        # component's direction comes from ALL fragments, not the longest
+        # one (whose tile-fit angle error would skew long merged segments)
         pts = np.concatenate([segs[members, :2], segs[members, 2:]], axis=0)
-        t = (pts - segs[lead, :2]) @ u[lead]
+        wts = np.concatenate([ln[members], ln[members]])
+        cen = (pts * wts[:, None]).sum(0) / wts.sum()
+        dp = pts - cen
+        cov = (dp * wts[:, None]).T @ dp
+        evals, evecs = np.linalg.eigh(cov)
+        ud = evecs[:, np.argmax(evals)]
+        t = dp @ ud
         lo, hi = t.min(), t.max()
-        a = segs[lead, :2] + lo * u[lead]
-        b = segs[lead, :2] + hi * u[lead]
+        a = cen + lo * ud
+        b = cen + hi * ud
         out.append([a[0], a[1], b[0], b[1]])
     out = np.asarray(out, np.float32).reshape(-1, 4)
     length = np.linalg.norm(out[:, 2:] - out[:, :2], axis=1)

@@ -17,11 +17,34 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 # The axon sitecustomize force-sets jax_platforms="axon,cpu" (tunneled TPU);
-# tests must run on the virtual CPU mesh, so override after import.
-jax.config.update("jax_platforms", "cpu")
+# tests run on the virtual CPU mesh by default, so override after import.
+# The TPU-resident lane (-m tpu, test_tpu_lane.py) is run with
+# SDPL_TEST_PLATFORM=tpu to keep the real backend.
+if os.environ.get("SDPL_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: runs on the real TPU backend (SDPL_TEST_PLATFORM=tpu); "
+        "skipped on the CPU mesh",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    backend = jax.default_backend()
+    if backend == "cpu":
+        skip = pytest.mark.skip(
+            reason="TPU lane: needs a TPU backend "
+                   "(run with SDPL_TEST_PLATFORM=tpu under axon)"
+        )
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)
 
 
 @pytest.fixture

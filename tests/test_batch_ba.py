@@ -82,6 +82,105 @@ def test_partial_ba_runs_and_writes_back(tracked_map):
     assert t1 < 0.02, t1
 
 
+def test_partial_ba_writes_back_refined_structure(tracked_map):
+    """Corrupt stored static 3D points, run a window BA: the optimized
+    points must be scattered back into the map (Optimizer.cc:1123-1143)
+    and a second, overlapping window must linearize from that refinement
+    (VERDICT round-1 missing #2)."""
+    sys = tracked_map
+    import copy
+
+    m = copy.deepcopy(sys.map)
+    rng = np.random.default_rng(7)
+    f0 = m.n_frames - 5
+    corrupted = {}
+    for i in range(f0, m.n_frames):
+        sel = np.nonzero(m.stat_valid[i])[0][:50]
+        corrupted[i] = (sel, m.stat_3d[i][sel].copy())
+        m.stat_3d[i][sel] += rng.normal(0, 0.5, (len(sel), 3)).astype(
+            np.float32
+        )
+    corrupted_vals = {
+        i: m.stat_3d[i][sel].copy() for i, (sel, _) in corrupted.items()
+    }
+    # which (frame, slot) observations actually enter the window graph
+    _, meta0 = ba_builder.build_graph(
+        m, sys.tracker.K, f0, m.n_frames,
+        min_track_len=3, motion_init_identity=False,
+    )
+    in_graph = set()
+    cams0, slots0, _ = meta0["sp_map"]
+    for k in range(len(cams0)):
+        in_graph.add((f0 + int(cams0[k]), int(slots0[k])))
+
+    ba_builder.partial_batch_optimization(
+        m, sys.tracker.K, window=5, cfg=sys.settings
+    )
+    # corrupted slots that entered the graph must have moved back toward
+    # their true positions (the scatter write-back happened)
+    moved = improved = 0
+    for i, (sel, truth) in corrupted.items():
+        now = m.stat_3d[i][sel]
+        err_now = np.linalg.norm(now - truth, axis=1)
+        err_bad = np.linalg.norm(corrupted_vals[i] - truth, axis=1)
+        for j, s in enumerate(sel):
+            if (i, int(s)) not in in_graph:
+                continue
+            moved += 1
+            if err_now[j] < 0.5 * err_bad[j]:
+                improved += 1
+    assert moved > 0
+    assert improved > 0.5 * moved, (improved, moved)
+
+    # second overlapping window must linearize from the REFINED values:
+    # its initial point vertices differ from the corrupted values
+    graph2, meta2 = ba_builder.build_graph(
+        m, sys.tracker.K, m.n_frames - 6, m.n_frames,
+        min_track_len=3, motion_init_identity=False,
+    )
+    cams, slots, vids = meta2["sp_map"]
+    Xs0 = np.asarray(graph2.Xs0)
+    checked = fresh = 0
+    for k in range(len(cams)):
+        f_abs = m.n_frames - 6 + int(cams[k])
+        if f_abs in corrupted and int(slots[k]) in set(
+            int(s) for s in corrupted[f_abs][0]
+        ):
+            j = list(corrupted[f_abs][0]).index(int(slots[k]))
+            if (f_abs, int(slots[k])) in in_graph:
+                checked += 1
+                if not np.allclose(
+                    Xs0[vids[k]], corrupted_vals[f_abs][j], atol=1e-4
+                ):
+                    fresh += 1
+    assert checked > 0
+    assert fresh > 0.5 * checked, (fresh, checked)
+
+
+def test_full_ba_refines_structure_fields(tracked_map):
+    """Full BA must populate refined 3D points / Plucker lines
+    (Optimizer.cc:5658-5736), not only poses and motions."""
+    sys = tracked_map
+    import copy
+
+    m = copy.deepcopy(sys.map)
+    before_pts = [a.copy() for a in m.stat_3d]
+    before_plk = [a.copy() for a in m.line_plucker]
+    ba_builder.full_batch_optimization(m, sys.tracker.K, sys.settings)
+    changed_pts = any(
+        not np.allclose(a, b) for a, b in zip(m.stat_3d, before_pts)
+    )
+    changed_plk = any(
+        not np.allclose(a, b) for a, b in zip(m.line_plucker, before_plk)
+    )
+    assert changed_pts
+    assert changed_plk
+    for a in m.stat_3d:
+        assert np.all(np.isfinite(a))
+    for a in m.line_plucker:
+        assert np.all(np.isfinite(a))
+
+
 def test_tracklets_built():
     from sdpl_slam_tpu.models import tracklets as tk
 
