@@ -628,12 +628,11 @@ class Tracking:
             cand_valid = np.ones(self.N_CAND, bool)
 
         if det_lines is not None:
-            from ..ops import lines as line_ops
-
-            line_detections = line_ops.merge_components_np(
-                np.asarray(det_lines.uv4), np.asarray(det_lines.valid),
-                self._line_cfg(),
-            )
+            # the global collinear merge already ran on device inside
+            # detect_lines; the host only compacts the valid rows
+            d_uv4 = np.asarray(det_lines.uv4)
+            d_val = np.asarray(det_lines.valid)
+            line_detections = d_uv4[d_val]
         lcand = np.zeros((self.NL_CAND, 4), np.float32)
         lcand_valid = np.zeros(self.NL_CAND, bool)
         if line_detections is not None and len(line_detections):
@@ -800,8 +799,6 @@ class Tracking:
             )
             for a in outs:
                 a.copy_to_host_async()
-            # frame t+1's detectors ride the queue behind this solve
-            self._predispatch_next_detectors()
             # overlap: the renewal selections consume only the DETECTOR
             # outputs, which the device finished before the solve started
             # (dispatch order) and whose transfers were requested at
@@ -810,6 +807,7 @@ class Tracking:
                 det_pts, det_lines, point_detections, line_detections,
                 flow_np, h, w,
             )
+            self._predispatch_next_detectors()
             pulled = jax.device_get(outs)
             if buckets is None:
                 (pose_np, res_flow, res_lflow, stat_track_ok,

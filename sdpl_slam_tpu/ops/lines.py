@@ -536,15 +536,90 @@ def _detect_octave(img: jnp.ndarray, cfg: LineDetectConfig) -> Segments:
     )
 
 
+def _merge_all(uv4: jnp.ndarray, valid: jnp.ndarray,
+               cfg: LineDetectConfig) -> Segments:
+    """Global collinear merge ON DEVICE: all-pairs mergeability gates
+    (angle / lateral offset / endpoint gap -- same thresholds as the tile
+    rounds), connected components by min-label propagation with pointer
+    jumping, then one length-weighted orthogonal regression per component
+    via segment reductions.  Replaces the host merge on the per-frame
+    path: its output rides the same async device->host copy as the rest
+    of the detector, so the host pays nothing."""
+    n = uv4.shape[0]
+    d = uv4[:, 2:] - uv4[:, :2]
+    ln = jnp.linalg.norm(d, axis=-1) + 1e-9
+    u = d / ln[:, None]
+    nrm = jnp.stack([-u[:, 1], u[:, 0]], 1)
+    mid = 0.5 * (uv4[:, :2] + uv4[:, 2:])
+
+    cosang = jnp.abs(jnp.matmul(u, u.T, precision=_HI))
+    lat = jnp.abs(
+        jnp.matmul(nrm, mid.T, precision=_HI)
+        - jnp.sum(nrm * uv4[:, :2], -1)[:, None]
+    )
+    si = jnp.sum(uv4[:, :2] * u, -1)[:, None]
+    t0 = jnp.matmul(u, uv4[:, :2].T, precision=_HI) - si
+    t1 = jnp.matmul(u, uv4[:, 2:].T, precision=_HI) - si
+    tlo = jnp.minimum(t0, t1)
+    thi = jnp.maximum(t0, t1)
+    gap = jnp.maximum(tlo - ln[:, None], -thi)
+    vv = valid[:, None] & valid[None, :]
+    can = (
+        vv
+        & (cosang > cfg.merge_angle_cos)
+        & ((lat < cfg.merge_lateral) | (lat.T < cfg.merge_lateral))
+        & (gap < cfg.merge_gap)
+    )
+    can = can | can.T
+    can = can | jnp.eye(n, dtype=bool)
+
+    def body(lab, _):
+        nxt = jnp.min(jnp.where(can, lab[None, :], n), axis=1)
+        nxt = jnp.minimum(lab, nxt)
+        nxt = jnp.minimum(nxt, nxt[nxt])        # pointer jumping
+        return nxt, None
+
+    lab, _ = jax.lax.scan(body, jnp.arange(n), None, length=10)
+
+    # per-component length-weighted orthogonal regression, keyed by root
+    pts = jnp.concatenate([uv4[:, :2], uv4[:, 2:]], 0)          # (2n, 2)
+    w1 = jnp.where(valid, ln, 0.0)
+    wts = jnp.concatenate([w1, w1])
+    root = jnp.concatenate([lab, lab])
+    wsum = jnp.maximum(jax.ops.segment_sum(wts, root, n), 1e-9)
+    cx = jax.ops.segment_sum(wts * pts[:, 0], root, n) / wsum
+    cy = jax.ops.segment_sum(wts * pts[:, 1], root, n) / wsum
+    dx = pts[:, 0] - cx[root]
+    dy = pts[:, 1] - cy[root]
+    cxx = jax.ops.segment_sum(wts * dx * dx, root, n)
+    cyy = jax.ops.segment_sum(wts * dy * dy, root, n)
+    cxy = jax.ops.segment_sum(wts * dx * dy, root, n)
+    theta = 0.5 * jnp.arctan2(2 * cxy, cxx - cyy)
+    ux, uy = jnp.cos(theta), jnp.sin(theta)
+    t = dx * ux[root] + dy * uy[root]
+    tmin = jax.ops.segment_min(jnp.where(wts > 0, t, jnp.inf), root, n)
+    tmax = jax.ops.segment_max(jnp.where(wts > 0, t, -jnp.inf), root, n)
+    out = jnp.stack([
+        cx + tmin * ux, cy + tmin * uy,
+        cx + tmax * ux, cy + tmax * uy,
+    ], 1)
+    out_len = jnp.where(jnp.isfinite(tmax - tmin), tmax - tmin, 0.0)
+    is_root = lab == jnp.arange(n)
+    out_valid = valid & is_root & (out_len >= cfg.min_length)
+    out = jnp.where(out_valid[:, None], out, uv4)
+    return Segments(uv4=out, length=out_len, valid=out_valid)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def detect_lines(img: jnp.ndarray,
                  cfg: LineDetectConfig = LineDetectConfig()) -> Segments:
     """Detect line segments over ``cfg.n_octaves`` pyramid levels; returns
     fixed-cap (n_octaves * max_lines, 4) + validity, coordinates on the
-    full-resolution grid.  Mirrors the reference's 2-octave Gaussian
-    pyramid detection (/root/reference/src/Lineextractor.cc:84-96); the
-    cross-octave duplicate/merge resolution happens in the host merge
-    (merge_components_np), like BinaryDescriptor's octave fusion."""
+    full-resolution grid, globally collinear-merged on device.  Mirrors
+    the reference's 2-octave Gaussian pyramid detection
+    (/root/reference/src/Lineextractor.cc:84-96); cross-octave duplicates
+    collapse in the final device merge, like BinaryDescriptor's octave
+    fusion."""
     img = img.astype(jnp.float32)
     outs = []
     for o in range(max(1, cfg.n_octaves)):
@@ -561,11 +636,12 @@ def detect_lines(img: jnp.ndarray,
         outs.append(Segments(
             uv4=s.uv4 * scale, length=s.length * scale, valid=s.valid,
         ))
-    return Segments(
+    cat = Segments(
         uv4=jnp.concatenate([s.uv4 for s in outs], 0),
         length=jnp.concatenate([s.length for s in outs], 0),
         valid=jnp.concatenate([s.valid for s in outs], 0),
     )
+    return _merge_all(cat.uv4, cat.valid, cfg)
 
 
 def merge_components_np(uv4, valid,
@@ -582,27 +658,26 @@ def merge_components_np(uv4, valid,
     """
     import numpy as np
 
-    segs = np.asarray(uv4)[np.asarray(valid)].astype(np.float64)
+    segs = np.asarray(uv4)[np.asarray(valid)].astype(np.float32)
     k = len(segs)
     if k == 0:
         return segs.astype(np.float32).reshape(0, 4)
     d = segs[:, 2:] - segs[:, :2]
     ln = np.linalg.norm(d, axis=1) + 1e-9
-    u = d / ln[:, None]
+    u = (d / ln[:, None]).astype(np.float32)
     nrm = np.stack([-u[:, 1], u[:, 0]], axis=1)
     mid = 0.5 * (segs[:, :2] + segs[:, 2:])
 
+    # all-pairs gates as rank-2 BLAS products (no (k,k,2) intermediates:
+    # at K ~ 800 those float64 tensors cost tens of ms on the frame path)
     cosang = np.abs(u @ u.T)
-    # lateral offset of j's midpoint from i's infinite line
-    rel = mid[None, :, :] - segs[:, None, :2]
-    lat = np.abs(np.einsum("ijk,ik->ij", rel, nrm))
-    # endpoint gap along i's direction
-    t0 = np.einsum("jk,ik->ij", segs[:, :2], u) - np.einsum(
-        "ik,ik->i", segs[:, :2], u
-    )[:, None]
-    t1 = np.einsum("jk,ik->ij", segs[:, 2:], u) - np.einsum(
-        "ik,ik->i", segs[:, :2], u
-    )[:, None]
+    # lateral offset of j's midpoint from i's infinite line:
+    # lat[i,j] = |mid_j.n_i - s_i.n_i|
+    lat = np.abs((nrm @ mid.T) - np.einsum("ik,ik->i", nrm, segs[:, :2])[:, None])
+    # endpoint projections of j's endpoints on i's direction, rooted at s_i
+    si_ui = np.einsum("ik,ik->i", segs[:, :2], u)[:, None]
+    t0 = (u @ segs[:, :2].T) - si_ui
+    t1 = (u @ segs[:, 2:].T) - si_ui
     tlo = np.minimum(t0, t1)
     thi = np.maximum(t0, t1)
     gap = np.maximum(tlo - ln[:, None], -thi)
@@ -614,47 +689,55 @@ def merge_components_np(uv4, valid,
     can = can | can.T
     np.fill_diagonal(can, True)
 
-    # union-find over the sparse mergeable pairs
-    parent = np.arange(k)
+    # connected components by min-label propagation with pointer jumping
+    # (fully vectorized; the old per-pair union-find python loop cost
+    # 30-50 ms/frame on the critical path at K ~ 800)
+    lab = np.arange(k)
+    for _ in range(32):
+        nxt = np.minimum(lab, np.where(can, lab[None, :], k).min(1))
+        nxt = np.minimum(nxt, nxt[nxt])        # pointer jumping
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    _, comp = np.unique(lab, return_inverse=True)
+    nc = comp.max() + 1
 
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    ii, jj = np.nonzero(np.triu(can, 1))
-    for a, b in zip(ii, jj):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-    roots = np.array([find(i) for i in range(k)])
-
-    out = []
-    for r in np.unique(roots):
-        members = np.nonzero(roots == r)[0]
-        # length-weighted orthogonal regression over member endpoints: the
-        # component's direction comes from ALL fragments, not the longest
-        # one (whose tile-fit angle error would skew long merged segments)
-        pts = np.concatenate([segs[members, :2], segs[members, 2:]], axis=0)
-        wts = np.concatenate([ln[members], ln[members]])
-        cen = (pts * wts[:, None]).sum(0) / wts.sum()
-        dp = pts - cen
-        cov = (dp * wts[:, None]).T @ dp
-        evals, evecs = np.linalg.eigh(cov)
-        ud = evecs[:, np.argmax(evals)]
-        t = dp @ ud
-        lo, hi = t.min(), t.max()
-        a = cen + lo * ud
-        b = cen + hi * ud
-        out.append([a[0], a[1], b[0], b[1]])
-    out = np.asarray(out, np.float32).reshape(-1, 4)
+    # length-weighted orthogonal regression PER COMPONENT over member
+    # endpoints (the component's direction comes from ALL fragments, not
+    # the longest one, whose tile-fit angle error would skew long merged
+    # segments) -- all reductions via bincount
+    pts = np.concatenate([segs[:, :2], segs[:, 2:]], axis=0)   # (2k, 2)
+    wts = np.concatenate([ln, ln])
+    root = np.concatenate([comp, comp])
+    wsum = np.bincount(root, wts, minlength=nc)
+    cx = np.bincount(root, wts * pts[:, 0], minlength=nc) / wsum
+    cy = np.bincount(root, wts * pts[:, 1], minlength=nc) / wsum
+    dx = pts[:, 0] - cx[root]
+    dy = pts[:, 1] - cy[root]
+    cxx = np.bincount(root, wts * dx * dx, minlength=nc)
+    cyy = np.bincount(root, wts * dy * dy, minlength=nc)
+    cxy = np.bincount(root, wts * dx * dy, minlength=nc)
+    theta = 0.5 * np.arctan2(2 * cxy, cxx - cyy)
+    ux, uy = np.cos(theta), np.sin(theta)
+    t = dx * ux[root] + dy * uy[root]
+    tmin = np.full(nc, np.inf)
+    tmax = np.full(nc, -np.inf)
+    np.minimum.at(tmin, root, t)
+    np.maximum.at(tmax, root, t)
+    out = np.stack([
+        cx + tmin * ux, cy + tmin * uy,
+        cx + tmax * ux, cy + tmax * uy,
+    ], axis=1).astype(np.float32)
     length = np.linalg.norm(out[:, 2:] - out[:, :2], axis=1)
     return out[length >= cfg.min_length]
 
 
 def detect_lines_np(img, cfg: LineDetectConfig = LineDetectConfig()):
-    """Device detection + host final merge -> numpy (L, 4) detections, the
-    form consumed by Tracking.grab_rgbd."""
+    """Device detection (incl. the on-device global merge) -> numpy (L, 4)
+    detections, the form consumed by Tracking.grab_rgbd."""
+    import numpy as np
+
     segs = detect_lines(img, cfg)
-    return merge_components_np(segs.uv4, segs.valid, cfg)
+    uv4 = np.asarray(segs.uv4)
+    valid = np.asarray(segs.valid)
+    return uv4[valid].astype(np.float32).reshape(-1, 4)
