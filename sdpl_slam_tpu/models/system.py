@@ -40,6 +40,9 @@ class System:
 
     @property
     def map(self):
+        # any consumer of the map forces completion of the in-flight
+        # pipelined frame first, so observed state is always consistent
+        self.tracker.flush()
         return self.tracker.map
 
     def track_rgbd(
@@ -74,13 +77,18 @@ class System:
                 wts = wts[::-1]
             return (img.astype(np.float32) @ wts).round().astype(np.uint8)
 
-        return self.tracker.grab_rgbd(
-            to_gray(im), depthmap, flowmap, masksem, gt_pose, obj_poses_gt,
-            timestamp, n_images,
-            line_detections=line_detections,
-            point_detections=point_detections,
-            next_gray=None if next_image is None else to_gray(next_image),
-        )
+        import jax
+
+        with jax.profiler.StepTraceAnnotation(
+            "frame", step_num=self.tracker.f_id
+        ):
+            return self.tracker.grab_rgbd(
+                to_gray(im), depthmap, flowmap, masksem, gt_pose,
+                obj_poses_gt, timestamp, n_images,
+                line_detections=line_detections,
+                point_detections=point_detections,
+                next_gray=None if next_image is None else to_gray(next_image),
+            )
 
     def save_checkpoint(self, path: str | Path) -> None:
         """Persist the full mid-run state (map history + tracker state) so a
@@ -89,6 +97,7 @@ class System:
         import pickle
 
         t = self.tracker
+        t.flush()
         blob = dict(
             f_id=t.f_id, max_id=t.max_id, velocity=t.velocity,
             origin_inv=t.origin_inv, last=t.last, last_meta=t.last_meta,
@@ -142,3 +151,22 @@ class System:
 
     def velocity_error(self):
         return metrics.velocity_error(self.map)
+
+    # --- device-level tracing (SURVEY.md section 5, tracing row).  The
+    # reference exposes only wall-clock slot timing (also kept here, in
+    # Map.frame_times); this adds XLA-level traces viewable in
+    # TensorBoard/Perfetto. ---
+    def start_profiler_trace(self, log_dir: str | Path) -> None:
+        """Begin a ``jax.profiler`` trace (device + host timelines for
+        every jitted stage) written under ``log_dir``."""
+        import jax
+
+        jax.profiler.start_trace(str(log_dir))
+        self._tracing = True
+
+    def stop_profiler_trace(self) -> None:
+        import jax
+
+        self.tracker.flush()
+        jax.profiler.stop_trace()
+        self._tracing = False

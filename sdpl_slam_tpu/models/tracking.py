@@ -24,6 +24,7 @@ per object (MaxTrackPointOBJ), 100 object lines per object.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import List, Optional
 
 import jax
@@ -129,6 +130,62 @@ def obj_pose_parsing_ox(row: np.ndarray,
     return pose
 
 
+class _FrameDetections:
+    """FAST corners + line segments packed in ONE device buffer.
+
+    The detector outputs come home in a single async transfer (six
+    per-leaf copies each cost host issue time and tunnel scheduling);
+    the host slices lazily."""
+
+    __slots__ = ("buf", "n_fast", "n_lines", "_np", "_thread", "_err")
+
+    def __init__(self, buf, n_fast: int, n_lines: int):
+        self.buf = buf
+        self.n_fast = n_fast
+        self.n_lines = n_lines
+        self._np = None
+        self._err = None
+        # pull on a background thread from the moment of dispatch: a
+        # foreground blocking pull while the device is busy costs ~2x the
+        # device time over the tunnel
+        self._thread = threading.Thread(target=self._pull, daemon=True)
+        self._thread.start()
+
+    def _pull(self):
+        try:
+            self._np = np.asarray(self.buf)
+        except Exception as e:               # surfaced at first access
+            self._err = e
+
+    def _host(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+            if self._err is not None:
+                raise self._err
+        return self._np
+
+    @property
+    def has_fast(self):
+        return self.n_fast > 0
+
+    @property
+    def has_lines(self):
+        return self.n_lines > 0
+
+    def fast(self):
+        """(uv (N,2), score (N,), valid (N,) bool)."""
+        b, n = self._host(), self.n_fast
+        return (b[:2 * n].reshape(n, 2), b[2 * n:3 * n],
+                b[3 * n:4 * n] > 0.5)
+
+    def lines(self):
+        """(uv4 (M,4), valid (M,) bool)."""
+        b, m = self._host(), self.n_lines
+        o = 4 * self.n_fast
+        return b[o:o + 4 * m].reshape(m, 4), b[o + 5 * m:o + 6 * m] > 0.5
+
+
 class Tracking:
     """Host orchestrator holding per-sequence state, driving jitted stages."""
 
@@ -161,8 +218,20 @@ class Tracking:
                                                          # recovered) mask
         self.last_mask_np: Optional[np.ndarray] = None   # mSegMapLast
         self.last_flow_np: Optional[np.ndarray] = None   # mFlowMapLast
+        self._detect_jits: dict = {}                     # (fast?,lines?)->jit
+        self._inflight: Optional[dict] = None            # pipelined frame
 
         self._build_jits()
+
+    # ------------------------------------------------------------------
+    def flush(self) -> None:
+        """Finish any in-flight pipelined frame (pull + renew + map push +
+        BA triggers).  Idempotent; called automatically at the start of
+        the next frame and by any map/results consumer."""
+        if self._inflight is not None:
+            fl = self._inflight
+            self._inflight = None
+            self._track_finish(fl)
 
     # ------------------------------------------------------------------
     # jitted stages
@@ -407,19 +476,62 @@ class Tracking:
                 (MB * 16, (MB, 4, 4), "f"),
             ]
 
+        def _pack_out(arrs):
+            """Flatten the output pytree into ONE f32 vector: the frame's
+            results come home in a single async transfer instead of ~12
+            per-leaf copies (each costs host issue time and tunnel
+            scheduling)."""
+            return jnp.concatenate(
+                [jnp.ravel(a).astype(jnp.float32) for a in arrs]
+            )
+
         def fused_track_packed(key, buf, MB, use_obj_lines):
             cam_args = _unpack(buf, CAM_SPECS + _obj_specs(MB))
-            return fused_track(key, *cam_args, use_obj_lines)
+            return _pack_out(fused_track(key, *cam_args, use_obj_lines))
 
         self._fused_track = jax.jit(fused_track_packed,
                                     static_argnums=(2, 3))
 
         def fused_cam_only_packed(key, buf):
             cam, _ = fused_cam(key, *_unpack(buf, CAM_SPECS))
-            return (cam.pose, cam.flow, cam.line_flow, cam.point_inlier,
-                    cam.line_inlier)
+            return _pack_out((cam.pose, cam.flow, cam.line_flow,
+                              cam.point_inlier, cam.line_inlier))
 
         self._fused_cam_only = jax.jit(fused_cam_only_packed)
+
+    def _out_specs(self, MB):
+        """(size, shape, kind) rows for unpacking the fused result buffer;
+        order mirrors fused_track's return tuple."""
+        NS, NLS, P, L = self.NS, self.NLS, self.P_OBJ, self.L_OBJ
+        specs = [
+            (16, (4, 4), "f"), (NS * 2, (NS, 2), "f"),
+            (NLS * 4, (NLS, 4), "f"), (NS, None, "bool"),
+            (NLS, None, "bool"),
+        ]
+        if MB:
+            specs += [
+                (MB * 16, (MB, 4, 4), "f"), (MB * P * 2, (MB, P, 2), "f"),
+                (MB * L * 4, (MB, L, 4), "f"), (MB * P, (MB, P), "bool"),
+                (MB * L, (MB, L), "bool"), (MB, None, "int"),
+                (MB, None, "f"),
+            ]
+        return specs
+
+    @staticmethod
+    def _np_unpack(buf, specs):
+        out = []
+        o = 0
+        for (n, shape, kind) in specs:
+            a = buf[o:o + n]
+            o += n
+            if shape is not None:
+                a = a.reshape(shape)
+            if kind == "bool":
+                a = a > 0.5
+            elif kind == "int":
+                a = a.astype(np.int32)
+            out.append(a)
+        return out
 
 
 
@@ -480,15 +592,29 @@ class Tracking:
         need_lines = line_detections is None and cfg.use_lines
         self._need_det = (need_fast, need_lines)
         pend = getattr(self, "_pending_det", None)
-        if pend is not None and pend[0] == self.f_id:
-            det_pts = pend[1] if need_fast else None
-            det_lines = pend[2] if need_lines else None
+        if (pend is not None and pend[0] == self.f_id
+                and pend[1] is not None
+                and pend[1].has_fast == need_fast
+                and pend[1].has_lines == need_lines):
+            det = pend[1]
         else:
-            det_pts, det_lines = self._dispatch_detectors(
-                gray, need_fast, need_lines
-            )
+            det = self._dispatch_detectors(gray, need_fast, need_lines)
         self._pending_det = None
         self._next_gray = next_gray
+
+        # renewal-independent image prep runs BEFORE the flush so it
+        # overlaps the previous frame's in-flight device pull
+        depth_now = _np_preprocess_depth(
+            np.asarray(depth_raw, np.float32), cfg.choose_data,
+            cfg.depth_map_factor, cfg.bf,
+        )
+        flow_np = np.ascontiguousarray(flow, dtype=np.float32)
+
+        # --- finish the previous frame's in-flight work (pipelined mode).
+        # Runs BEFORE this frame's images overwrite self.mask_np/depth_np;
+        # by now the previous solve has had the whole inter-call gap to
+        # complete and its packed result transfer has landed. ---
+        self.flush()
 
         # --- mask recovery (UpdateMask, Tracking.cc:4730-4810) ---
         self.mask_np = np.asarray(mask, np.int32).copy()
@@ -496,11 +622,7 @@ class Tracking:
             self._update_mask()
         # host mirror of the preprocessed depth (dense device->host pulls
         # are prohibitively slow over the TPU tunnel)
-        self.depth_np = _np_preprocess_depth(
-            np.asarray(depth_raw, np.float32), cfg.choose_data,
-            cfg.depth_map_factor, cfg.bf,
-        )
-        flow_np = np.ascontiguousarray(flow, dtype=np.float32)
+        self.depth_np = depth_now
         # object candidates come from the stride-4 mask grid, not the
         # detector (Frame.cc:769-809) -- selectable before any pull
         obj_tmp = fh.select_object_points(
@@ -513,18 +635,28 @@ class Tracking:
             t0 = _time.perf_counter()
             self._predispatch_next_detectors()
             stat_tmp, line_tmp, oline_tmp = self._finish_selection(
-                det_pts, det_lines, point_detections, line_detections,
-                flow_np, h, w,
+                det, point_detections, line_detections, flow_np, h, w,
             )
             timing[0] += (_time.perf_counter() - t0) * 1e3
             self._initialize(stat_tmp, line_tmp, obj_tmp,
                              oline_tmp, pose_gt, gt_objs)
             pose = np.asarray(self.last["pose"])
         else:
-            pose = self._track(
+            fl = self._track_dispatch(
                 flow_np, obj_tmp, pose_gt, gt_objs, timing, stop_frame,
-                det_pts, det_lines, point_detections, line_detections,
+                det, point_detections, line_detections,
             )
+            last_frame = (
+                self.f_id >= stop_frame or self.f_id >= n_images - 1
+            )
+            if (cfg.pipelined_tracking and fl["legacy"] is None
+                    and not last_frame):
+                self._inflight = fl
+                # 1-frame-lag return: this frame's pose lands in the map
+                # when the next call (or flush) finishes it
+                pose = np.asarray(self.last["pose"])
+            else:
+                pose = self._track_finish(fl)
         self.last_mask_np = self.mask_np.copy()
         self.last_flow_np = np.asarray(flow, np.float32)
         self.f_id += 1
@@ -532,24 +664,41 @@ class Tracking:
 
     # ------------------------------------------------------------------
     def _dispatch_detectors(self, gray, need_fast, need_lines):
-        """Dispatch FAST + line detection on ``gray`` (async) and request
-        the host copies of their outputs."""
-        det_pts = det_lines = None
-        if need_fast or need_lines:
-            gray_dev = jnp.asarray(np.ascontiguousarray(gray))
-        if need_fast:
-            from ..ops import fast as fast_ops
+        """Dispatch FAST + line detection on ``gray`` (async, one fused jit,
+        one packed output buffer) and request its host copy."""
+        if not (need_fast or need_lines):
+            return None
+        entry = self._detect_jits.get((need_fast, need_lines))
+        if entry is None:
+            from ..ops import fast as fast_ops, lines as line_ops
 
-            det_pts = fast_ops.detect_keypoints(gray_dev, self._fast_cfg())
-        if need_lines:
-            from ..ops import lines as line_ops
+            fcfg = self._fast_cfg() if need_fast else None
+            lcfg = self._line_cfg() if need_lines else None
+            n_fast = fcfg.n_features if need_fast else 0
+            n_lines = (
+                max(1, lcfg.n_octaves) * lcfg.max_lines if need_lines else 0
+            )
 
-            det_lines = line_ops.detect_lines(gray_dev, self._line_cfg())
-        for hdl in (det_pts, det_lines):
-            if hdl is not None:
-                for a in jax.tree_util.tree_leaves(hdl):
-                    a.copy_to_host_async()
-        return det_pts, det_lines
+            @jax.jit
+            def run(g):
+                parts = []
+                if need_fast:
+                    uv, sc, va = fast_ops.detect_keypoints(g, fcfg)
+                    parts += [jnp.ravel(uv).astype(jnp.float32),
+                              sc.astype(jnp.float32),
+                              va.astype(jnp.float32)]
+                if need_lines:
+                    seg = line_ops.detect_lines(g, lcfg)
+                    parts += [jnp.ravel(seg.uv4), seg.length,
+                              seg.valid.astype(jnp.float32)]
+                return jnp.concatenate(parts)
+
+            entry = (run, n_fast, n_lines)
+            self._detect_jits[(need_fast, need_lines)] = entry
+        run, n_fast, n_lines = entry
+        buf = run(jnp.asarray(np.ascontiguousarray(gray)))
+        buf.copy_to_host_async()
+        return _FrameDetections(buf, n_fast, n_lines)
 
     def _predispatch_next_detectors(self):
         """If the driver prefetched frame t+1's image, run its detectors
@@ -558,9 +707,9 @@ class Tracking:
             return
         need_fast, need_lines = self._need_det
         if need_fast or need_lines:
-            self._pending_det = (self.f_id + 1,) + self._dispatch_detectors(
+            self._pending_det = (self.f_id + 1, self._dispatch_detectors(
                 self._next_gray, need_fast, need_lines
-            )
+            ))
         self._next_gray = None
 
     # ------------------------------------------------------------------
@@ -592,7 +741,7 @@ class Tracking:
             mode=1 if cfg.line_extractor == 1 else 0,
         )
 
-    def _finish_selection(self, det_pts, det_lines, point_detections,
+    def _finish_selection(self, det, point_detections,
                           line_detections, flow_np, h, w):
         """Pull detector outputs (already host-cached after the big sync)
         and run the static point / static line / object line selections
@@ -600,8 +749,8 @@ class Tracking:
         cfg = self.cfg
         cand = np.zeros((self.N_CAND, 2), np.float32)
         cand_valid = np.zeros(self.N_CAND, bool)
-        if det_pts is not None:
-            d_uv, _, d_valid = (np.asarray(a) for a in det_pts)
+        if det is not None and det.has_fast:
+            d_uv, _, d_valid = det.fast()
             # keypoint undistortion (Frame::UndistortKeyPoints,
             # Frame.cc:1037-1081): identity when all coefficients are zero
             d_uv = geometry.undistort_points_np(
@@ -627,11 +776,10 @@ class Tracking:
             cand = self._grid_cache
             cand_valid = np.ones(self.N_CAND, bool)
 
-        if det_lines is not None:
+        if det is not None and det.has_lines:
             # the global collinear merge already ran on device inside
             # detect_lines; the host only compacts the valid rows
-            d_uv4 = np.asarray(det_lines.uv4)
-            d_val = np.asarray(det_lines.valid)
+            d_uv4, d_val = det.lines()
             line_detections = d_uv4[d_val]
         lcand = np.zeros((self.NL_CAND, 4), np.float32)
         lcand_valid = np.zeros(self.NL_CAND, bool)
@@ -751,7 +899,19 @@ class Tracking:
 
     # ------------------------------------------------------------------
     def _track(self, flow_np, obj_tmp, pose_gt, gt_objs, timing, stop_frame,
-               det_pts, det_lines, point_detections, line_detections):
+               det, point_detections, line_detections):
+        return self._track_finish(self._track_dispatch(
+            flow_np, obj_tmp, pose_gt, gt_objs, timing, stop_frame,
+            det, point_detections, line_detections,
+        ))
+
+    def _track_dispatch(self, flow_np, obj_tmp, pose_gt, gt_objs, timing,
+                        stop_frame, det, point_detections, line_detections):
+        """Pre-pull half of the frame: inherit, group, dispatch the fused
+        device chain, run the detector-dependent selections.  Returns the
+        in-flight frame dict consumed by :meth:`_track_finish`; in
+        pipelined mode the finish runs at the START of the next call, so
+        the solve's tunnel round-trip overlaps the inter-frame gap."""
         import time as _time
 
         cfg = self.cfg
@@ -797,39 +957,33 @@ class Tracking:
                 key, velocity_np, T_lw_np, last, s_uv, s_d, last_s_valid,
                 l_use, buckets,
             )
-            for a in outs:
-                a.copy_to_host_async()
+            outs.copy_to_host_async()
+            # Pull on a background thread, started at dispatch: a blocking
+            # np.asarray issued while the device is still computing costs
+            # ~2x the device time over the tunnel (the foreground wait
+            # contends with the execution stream), and the thread lets the
+            # host's selection/renewal work overlap the round trip.
+            pull = {"np": None, "err": None}
+
+            def _pull(outs=outs, pull=pull):
+                try:
+                    pull["np"] = np.asarray(outs)
+                except Exception as e:       # surfaced at join time
+                    pull["err"] = e
+
+            pull_thread = threading.Thread(target=_pull, daemon=True)
+            pull_thread.start()
             # overlap: the renewal selections consume only the DETECTOR
             # outputs, which the device finished before the solve started
             # (dispatch order) and whose transfers were requested at
             # dispatch -- so this host work runs while the solve computes
             stat_tmp, line_tmp, oline_tmp = self._finish_selection(
-                det_pts, det_lines, point_detections, line_detections,
-                flow_np, h, w,
+                det, point_detections, line_detections, flow_np, h, w,
             )
             self._predispatch_next_detectors()
-            pulled = jax.device_get(outs)
-            if buckets is None:
-                (pose_np, res_flow, res_lflow, stat_track_ok,
-                 line_track_ok) = pulled
-                obj_pulled = None
-            else:
-                (pose_np, res_flow, res_lflow, stat_track_ok, line_track_ok,
-                 o_G, o_flow, o_lflow, o_pinl, o_linl, init_n,
-                 static_frac) = pulled
-                n_obj = len(groups)
-                obj_pulled = (o_G[:n_obj], o_flow[:n_obj], o_lflow[:n_obj],
-                              o_pinl[:n_obj], o_linl[:n_obj],
-                              init_n[:n_obj], static_frac[:n_obj])
-            # update tracked positions from optimized flow
-            # (Optimizer.cc:6796)
-            s_uv = np.where(
-                stat_track_ok[:, None], last["stat_uv"] + res_flow, s_uv
-            )
-            l_uv = np.where(
-                line_track_ok[:, None], last["line_uv"] + res_lflow, l_uv
-            )
+            legacy = None
         else:
+            pull = pull_thread = None
             # bJoint=false: PoseOptimizationNewWithLines
             # (Optimizer.cc:5900) on fixed last-frame 3D structure, with
             # the reference's Gaussian depth-noise injection
@@ -867,7 +1021,76 @@ class Tracking:
                 key, pose_np, T_lw_np, buckets, len(groups)
             )
             self._predispatch_next_detectors()
-        timing[1] = (_time.perf_counter() - t0) * 1e3
+            outs = None
+            legacy = (pose_np, stat_track_ok, line_track_ok, obj_pulled)
+
+        return dict(
+            outs=outs, legacy=legacy, pull=pull, pull_thread=pull_thread,
+            buckets=buckets, groups=groups,
+            last=last, s_uv=s_uv, s_d=s_d, l_uv=l_uv, l_d=l_d,
+            o_uv=o_uv, o_d=o_d, o_sem=o_sem,
+            ol_uv=ol_uv, ol_d=ol_d, ol_sem=ol_sem, ol_v=ol_v,
+            stat_tmp=stat_tmp, line_tmp=line_tmp, oline_tmp=oline_tmp,
+            det=det, point_detections=point_detections,
+            line_detections=line_detections,
+            flow_np=flow_np, obj_tmp=obj_tmp, pose_gt=pose_gt,
+            gt_objs=gt_objs, timing=timing, stop_frame=stop_frame,
+            f_id=self.f_id, h=h, w=w,
+            depth_np=self.depth_np, mask_np=self.mask_np,
+            t_disp=(_time.perf_counter() - t0),
+        )
+
+    def _track_finish(self, fin):
+        """Post-pull half: pull the fused results, apply scene-flow static
+        decisions, commit objects, renew tracked features, push the map,
+        and fire the BA triggers.  Reads the frame's depth/mask through
+        ``fin`` (in pipelined mode ``self.depth_np`` may already hold the
+        NEXT frame's data)."""
+        import time as _time
+
+        cfg = self.cfg
+        (last, buckets, groups) = fin["last"], fin["buckets"], fin["groups"]
+        s_uv, s_d, l_uv, l_d = fin["s_uv"], fin["s_d"], fin["l_uv"], fin["l_d"]
+        o_uv, o_d, o_sem = fin["o_uv"], fin["o_d"], fin["o_sem"]
+        ol_uv, ol_d, ol_sem, ol_v = (fin["ol_uv"], fin["ol_d"], fin["ol_sem"],
+                                     fin["ol_v"])
+        stat_tmp, line_tmp, oline_tmp = (fin["stat_tmp"], fin["line_tmp"],
+                                         fin["oline_tmp"])
+        flow_np, obj_tmp = fin["flow_np"], fin["obj_tmp"]
+        pose_gt, gt_objs = fin["pose_gt"], fin["gt_objs"]
+        timing, stop_frame = fin["timing"], fin["stop_frame"]
+        f_id, h, w = fin["f_id"], fin["h"], fin["w"]
+
+        t0 = _time.perf_counter()
+        if fin["legacy"] is None:
+            MB = 0 if buckets is None else buckets["pt_obs"].shape[0]
+            fin["pull_thread"].join()
+            if fin["pull"]["err"] is not None:
+                raise fin["pull"]["err"]
+            pulled = self._np_unpack(fin["pull"]["np"], self._out_specs(MB))
+            if buckets is None:
+                (pose_np, res_flow, res_lflow, stat_track_ok,
+                 line_track_ok) = pulled
+                obj_pulled = None
+            else:
+                (pose_np, res_flow, res_lflow, stat_track_ok, line_track_ok,
+                 o_G, o_flow, o_lflow, o_pinl, o_linl, init_n,
+                 static_frac) = pulled
+                n_obj = len(groups)
+                obj_pulled = (o_G[:n_obj], o_flow[:n_obj], o_lflow[:n_obj],
+                              o_pinl[:n_obj], o_linl[:n_obj],
+                              init_n[:n_obj], static_frac[:n_obj])
+            # update tracked positions from optimized flow
+            # (Optimizer.cc:6796)
+            s_uv = np.where(
+                stat_track_ok[:, None], last["stat_uv"] + res_flow, s_uv
+            )
+            l_uv = np.where(
+                line_track_ok[:, None], last["line_uv"] + res_lflow, l_uv
+            )
+        else:
+            pose_np, stat_track_ok, line_track_ok, obj_pulled = fin["legacy"]
+        timing[1] = (fin["t_disp"] + _time.perf_counter() - t0) * 1e3
 
         # velocity (Tracking.cc:1177-1183)
         self.velocity = (pose_np @ np.linalg.inv(last["pose"])).astype(
@@ -910,10 +1133,11 @@ class Tracking:
         t0 = _time.perf_counter()
         if stat_tmp is None:   # legacy path: selections not yet run
             stat_tmp, line_tmp, oline_tmp = self._finish_selection(
-                det_pts, det_lines, point_detections, line_detections,
+                fin["det"], fin["point_detections"], fin["line_detections"],
                 flow_np, h, w,
             )
         new_state = self._renew_frame_info(
+            fin["depth_np"], fin["mask_np"],
             pose_np, flow_np, stat_tmp, line_tmp, obj_tmp, oline_tmp,
             s_uv, s_d, stat_track_ok,
             l_uv, l_d, line_track_ok,
@@ -930,7 +1154,6 @@ class Tracking:
         # ===== batch optimization triggers (Tracking.cc:1793-1884) =====
         from ..solvers import ba_builder
 
-        f_id = self.f_id
         if (
             cfg.run_local_ba
             and (f_id - cfg.overlap_size + 1)
@@ -1266,7 +1489,8 @@ class Tracking:
         return None
 
     # ------------------------------------------------------------------
-    def _renew_frame_info(self, pose_np, flow_np, stat_tmp, line_tmp,
+    def _renew_frame_info(self, depth_np, mask_np,
+                          pose_np, flow_np, stat_tmp, line_tmp,
                           obj_tmp, oline_tmp,
                           s_uv, s_d, stat_ok, l_uv, l_d, line_ok,
                           o_uv, o_d, o_sem, obj_label, obj_ok,
@@ -1274,10 +1498,10 @@ class Tracking:
                           pose_gt, gt_objs):
         """RenewFrameInfo (Tracking.cc:3959-4730): keep inliers, top-up from
         this frame's detections with dedup, recompute depth/3D, rebuild
-        association ids."""
+        association ids.  ``depth_np``/``mask_np`` are the FRAME'S images,
+        passed explicitly because in pipelined mode ``self.depth_np`` may
+        already hold the next frame's data when this runs."""
         cfg = self.cfg
-        depth_np = self.depth_np
-        mask_np = self.mask_np
         h, w = mask_np.shape
 
         def filt_point(uv):
@@ -1646,12 +1870,14 @@ class Tracking:
         cosang = (
             c_dir @ k_dir.T / (c_len[:, None] * k_len[None, :])
         )
-        middist = np.linalg.norm(
-            c_mid[:, None] - k_mid[None], axis=2
+        # |a-b|^2 = |a|^2 + |b|^2 - 2 a.b  (no (C,K,2) intermediate)
+        middist2 = (
+            np.sum(c_mid * c_mid, 1)[:, None]
+            + np.sum(k_mid * k_mid, 1)[None, :]
+            - 2.0 * (c_mid @ k_mid.T)
         )
-        dup = (cosang > np.cos(np.pi / 30)) & (
-            middist < 0.5 * np.maximum(c_len[:, None], k_len[None, :])
-        )
+        r = 0.5 * np.maximum(c_len[:, None], k_len[None, :])
+        dup = (cosang > np.cos(np.pi / 30)) & (middist2 < r * r)
         return dup.any(axis=1)
 
     # ------------------------------------------------------------------

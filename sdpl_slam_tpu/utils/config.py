@@ -93,6 +93,13 @@ class Settings:
     nonjoint_add_noise: bool = True
     stop_frame: Optional[int] = None  # StopFrame, Tracking.cc:185 (None = nImages-1)
     use_lines: bool = True            # #define USE_LINE inside Track()
+    # 1-frame software pipeline over the tunneled TPU: the frame's device
+    # pull + renewal/map bookkeeping run at the START of the next call, so
+    # the device->host round trip overlaps the inter-frame gap.  Final
+    # state (map, outputs) is identical; only the per-call return value
+    # lags one frame (the last frame always finishes synchronously).  New
+    # capability -- the reference is strictly synchronous per frame.
+    pipelined_tracking: bool = True
     min_object_points: int = 150      # Tracking.cc:2581
     min_pnp_inliers_obj: int = 50     # Tracking.cc:1387
     boundary_shrink_x: int = 25       # KITTI boundary rejection, Tracking.cc:2476
