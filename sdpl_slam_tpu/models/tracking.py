@@ -1268,7 +1268,10 @@ class Tracking:
             return None
         last = self.last
         P, L = self.P_OBJ, self.L_OBJ
-        MB = min(1 << max(n_obj - 1, 0).bit_length(), self.MAXO)
+        # fixed MAXO lanes: one compiled variant, and the per-lane RNG key
+        # stream matches the device-resident path exactly (empty lanes are
+        # born converged in the solver, so the extra lanes cost ~nothing)
+        MB = self.MAXO
         b = dict(
             pt_obs=np.zeros((MB, P, 2), np.float32),
             pt_flow0=np.zeros((MB, P, 2), np.float32),

@@ -1,0 +1,108 @@
+"""Parity: the device-resident frame step vs the host-orchestrated path.
+
+The resident step (models/resident.py) re-implements mask recovery,
+inheritance, selections, grouping, solves, commit, and renewal in
+fixed-shape jnp; these tests drive both implementations over the same
+synthetic frames and require the tracked-state dicts to agree --
+integer/boolean fields exactly, float fields to f32 tolerance.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from sdpl_slam_tpu.models.system import System
+from sdpl_slam_tpu.models import frame as fr
+from sdpl_slam_tpu.models import resident
+
+from synthetic import SynthConfig, SynthSequence, synth_settings
+
+INT_KEYS = [
+    "stat_valid", "line_valid", "obj_sem", "obj_label", "obj_valid",
+    "oline_sem", "oline_label", "oline_valid",
+]
+FLOAT_KEYS = [
+    "pose", "stat_uv", "stat_depth", "stat_flow", "stat_corres",
+    "line_uv", "line_depth", "line_flow", "line_corres",
+    "obj_uv", "obj_depth", "obj_flow", "obj_corres",
+    "oline_uv", "oline_depth", "oline_flow", "oline_corres",
+]
+
+
+def _run_pair(noise_flow=0.0, n_objects=1, n_frames=5):
+    cfg = SynthConfig(n_frames=n_frames, n_objects=n_objects,
+                      noise_flow=noise_flow)
+    seq = SynthSequence(cfg)
+    settings = synth_settings(cfg)
+    settings.pipelined_tracking = False
+    sysH = System(settings, verbose=False)
+    tr = sysH.tracker
+    n = seq.n_frames - 1
+    f0 = seq.frame(0)
+    sysH.track_rgbd(f0.gray, f0.depth, f0.flow, f0.mask, f0.gt_pose,
+                    f0.obj_rows, 0.0, n, line_detections=f0.lines)
+
+    caps = dict(NS=tr.NS, NLS=tr.NLS, NO=tr.NO, NLO=tr.NLO,
+                P=tr.P_OBJ, L=tr.L_OBJ, MAXO=tr.MAXO, GCAP=2 * tr.MAXO)
+    step = jax.jit(resident.build_resident_step(settings, tr.K, caps))
+    state = resident.state_from_host(
+        tr.last, tr.last_meta, tr.max_id, tr.velocity,
+        tr.last_mask_np, tr.last_flow_np, tr.MAXO,
+    )
+    h, w = cfg.height, cfg.width
+    cand = np.asarray(fr.grid_sample_uv(h, w, n_points=tr.N_CAND),
+                      np.float32)
+    cand_valid = np.ones(tr.N_CAND, bool)
+
+    prev_rows = f0.obj_rows
+    for t in range(1, n):
+        f = seq.frame(t)
+        lcand = np.zeros((tr.NL_CAND, 4), np.float32)
+        lv = np.zeros(tr.NL_CAND, bool)
+        nl = min(len(f.lines), tr.NL_CAND)
+        lcand[:nl] = f.lines[:nl]
+        lv[:nl] = True
+        key = jax.random.PRNGKey(t)
+        state, out = step(
+            state, np.asarray(f.depth, np.float32),
+            np.ascontiguousarray(f.flow, np.float32),
+            np.asarray(f.mask, np.int32),
+            cand, cand_valid, lcand, lv,
+            resident.gt_sem_table(prev_rows),
+            resident.gt_sem_table(f.obj_rows),
+            key,
+        )
+        sysH.track_rgbd(f.gray, f.depth, f.flow, f.mask, f.gt_pose,
+                        f.obj_rows, float(t) * 0.1, n,
+                        line_detections=f.lines)
+        lastD, metaD, max_idD = resident.state_to_host(state)
+        yield t, tr, lastD, metaD, max_idD
+        prev_rows = f.obj_rows
+
+
+def _compare(t, tr, lastD, metaD, max_idD):
+    lastH = tr.last
+    for k in INT_KEYS:
+        np.testing.assert_array_equal(
+            lastH[k], lastD[k], err_msg=f"frame {t}: {k}"
+        )
+    for k in FLOAT_KEYS:
+        np.testing.assert_allclose(
+            lastH[k], lastD[k], atol=5e-3, rtol=1e-4,
+            err_msg=f"frame {t}: {k}",
+        )
+    assert max_idD == tr.max_id, f"frame {t}: max_id"
+    assert metaD["sem_position"] == tr.last_meta["sem_position"], t
+    assert metaD["mod_label"] == tr.last_meta["mod_label"], t
+    assert metaD["obj_stat"] == tr.last_meta["obj_stat"], t
+
+
+def test_resident_matches_host_clean():
+    for t, tr, lastD, metaD, max_idD in _run_pair(noise_flow=0.0):
+        _compare(t, tr, lastD, metaD, max_idD)
+
+
+def test_resident_matches_host_noisy():
+    for t, tr, lastD, metaD, max_idD in _run_pair(noise_flow=0.2,
+                                                  n_objects=2):
+        _compare(t, tr, lastD, metaD, max_idD)
