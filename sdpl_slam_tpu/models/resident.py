@@ -33,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import geometry, lie, ransac
 from ..ops.geometry import Intrinsics
@@ -107,6 +108,7 @@ def _first_k(mask, k, order=None):
     order[mask[order]][:k].  Returns (idx (k,), valid (k,))."""
     n = mask.shape[0]
     if order is not None:
+        order = jnp.asarray(order)
         m = mask[order]
         pos, = jnp.nonzero(m, size=k, fill_value=n)
         idx = jnp.where(pos < n, order[jnp.clip(pos, 0, n - 1)], 0)
@@ -190,11 +192,12 @@ def _obj_line_dup(cand_uv4, kept_uv4, kept_valid):
 
 @functools.lru_cache(maxsize=8)
 def _strided_order(n: int, step: int):
-    import numpy as np
+    # numpy, NOT jnp: a cached device constant created inside one trace
+    # leaks into later traces (UnexpectedTracerError)
     order = []
     for start in range(step):
         order.extend(range(start, n, step))
-    return jnp.asarray(np.asarray(order, np.int32))
+    return np.asarray(order, np.int32)
 
 
 def _majority_nonzero_is_bg(samples, valid):
@@ -213,7 +216,12 @@ def _majority_nonzero_is_bg(samples, valid):
 
 
 def update_mask_dev(mask, state: ResidentState, maxo: int):
-    """Mask recovery (Tracking.cc:4730-4810, tracking._update_mask)."""
+    """Mask recovery (Tracking.cc:4730-4810, tracking._update_mask).
+
+    One fused splat for ALL recovered labels: the warp (pixel + last
+    flow) is label-independent, and scatter-max reproduces the host's
+    ascending-label overwrite order exactly (later = larger label wins a
+    collision in both)."""
     h, w = mask.shape
     sem = state.o_sem
     valid = state.o_valid & (sem > 0)
@@ -225,31 +233,30 @@ def update_mask_dev(mask, state: ResidentState, maxo: int):
     inb = (u > 0) & (u < w) & (v > 0) & (v < h)
     samples = mask[jnp.clip(v, 0, h - 1), jnp.clip(u, 0, w - 1)]
 
+    def vote(k):
+        lab = labs[k]
+        sel = valid & (sem == lab) & inb
+        enough = jnp.sum(sel.astype(jnp.int32)) >= 100
+        is_bg, any_s = _majority_nonzero_is_bg(samples, sel)
+        return lab_ok[k] & enough & is_bg & any_s
+
+    recover = jax.vmap(vote)(jnp.arange(maxo))          # (maxo,)
+
+    # per-pixel: does this pixel's LAST label get recovered?
+    rec_pix = (
+        (state.last_mask[None] == labs[:, None, None])
+        & recover[:, None, None]
+    ).any(axis=0)
     ys, xs = jnp.mgrid[0:h, 0:w]
     fx = state.last_flow[..., 0].astype(jnp.int32)
     fy = state.last_flow[..., 1].astype(jnp.int32)
     nx = xs + fx
     ny = ys + fy
-    splat_ok_base = (nx > 0) & (nx < w) & (ny > 0) & (ny < h)
-    nxc = jnp.clip(nx, 0, w - 1)
-    nyc = jnp.clip(ny, 0, h - 1)
-
-    def body(k, m):
-        lab = labs[k]
-        sel = valid & (sem == lab) & inb
-        enough = jnp.sum(sel.astype(jnp.int32)) >= 100
-        is_bg, any_s = _majority_nonzero_is_bg(samples, sel)
-        recover = lab_ok[k] & enough & is_bg & any_s
-        src = state.last_mask == lab
-        do = recover & src & splat_ok_base
-        # per-lane splat image then overwrite (host: mask[ny,nx] = lab
-        # overwrites whatever was there; lanes iterate labels ascending)
-        splat = jnp.zeros_like(m).at[nyc, nxc].max(
-            jnp.where(do, lab, jnp.int32(0))
-        )
-        return jnp.where(recover & (splat > 0), splat, m)
-
-    return jax.lax.fori_loop(0, maxo, body, mask)
+    ok = rec_pix & (nx > 0) & (nx < w) & (ny > 0) & (ny < h)
+    splat = jnp.zeros_like(mask).at[
+        jnp.clip(ny, 0, h - 1), jnp.clip(nx, 0, w - 1)
+    ].max(jnp.where(ok, state.last_mask, 0))
+    return jnp.where(splat > 0, splat, mask)
 
 
 def inherit_dev(state: ResidentState, depth, mask, th_depth_obj):
@@ -769,9 +776,61 @@ def build_resident_step(cfg, K: Intrinsics, caps: dict):
             lane_valid=m_ok,
             n_point_inliers=jnp.sum(cam.point_inlier.astype(jnp.int32)),
         )
-        return new_state, out
+        # pack into ONE f32 buffer: the map outputs come home in a single
+        # async transfer (30+ per-leaf copies serialize on the tunnel and
+        # stall the execution stream)
+        spec = out_spec(caps)
+        buf = jnp.concatenate(
+            [jnp.ravel(out[name]).astype(jnp.float32)
+             for name, _, _ in spec]
+        )
+        return new_state, buf
 
     return step
+
+
+def out_spec(caps):
+    """(name, shape, kind) rows of the packed resident-step output."""
+    NS, NLS, NO, NLO = caps["NS"], caps["NLS"], caps["NO"], caps["NLO"]
+    MAXO = caps["MAXO"]
+    return [
+        ("pose", (4, 4), "f"), ("velocity", (4, 4), "f"),
+        ("stat_uv", (NS, 2), "f"), ("stat_depth", (NS,), "f"),
+        ("stat_3d", (NS, 3), "f"), ("stat_valid", (NS,), "bool"),
+        ("stat_asso", (NS,), "int"),
+        ("line_uv", (NLS, 4), "f"), ("line_depth", (NLS, 2), "f"),
+        ("line_3d", (NLS, 6), "f"), ("line_valid", (NLS,), "bool"),
+        ("line_asso", (NLS,), "int"),
+        ("obj_uv", (NO, 2), "f"), ("obj_depth", (NO,), "f"),
+        ("obj_3d", (NO, 3), "f"), ("obj_valid", (NO,), "bool"),
+        ("obj_asso", (NO,), "int"), ("obj_label", (NO,), "int"),
+        ("oline_uv", (NLO, 4), "f"), ("oline_depth", (NLO, 2), "f"),
+        ("oline_3d", (NLO, 6), "f"), ("oline_valid", (NLO,), "bool"),
+        ("oline_asso", (NLO,), "int"), ("oline_label", (NLO,), "int"),
+        ("lane_label", (MAXO,), "int"), ("lane_sem", (MAXO,), "int"),
+        ("lane_stat", (MAXO,), "bool"), ("lane_H", (MAXO, 4, 4), "f"),
+        ("lane_centre", (MAXO, 3), "f"), ("lane_valid", (MAXO,), "bool"),
+        ("n_point_inliers", (), "int"),
+    ]
+
+
+def unpack_out(buf: "np.ndarray", caps) -> dict:
+    """Slice the packed output buffer into a dict of (writable, viewing)
+    numpy arrays."""
+    out = {}
+    o = 0
+    for name, shape, kind in out_spec(caps):
+        n = 1
+        for s in shape:
+            n *= s
+        a = buf[o:o + n].reshape(shape)
+        o += n
+        if kind == "bool":
+            a = a > 0.5
+        elif kind == "int":
+            a = a.astype(np.int32)
+        out[name] = a
+    return out
 
 
 def _rank_within_sem(sem, active, n_total):
@@ -1216,3 +1275,357 @@ def gt_sem_table(gt_rows, cap: int = 16):
     for i, row in enumerate(gt_rows[:cap]):
         t[i] = int(row[1])
     return t
+
+
+# ---------------------------------------------------------------------------
+# Host driver: non-blocking dispatch + lagging map mirror
+# ---------------------------------------------------------------------------
+
+class ResidentDriver:
+    """Drives the device-resident frame loop for a host ``Tracking``.
+
+    Per frame the host only: computes GT tables, pushes the four image
+    planes, dispatches ONE jit, and spawns a detached pull thread for the
+    map outputs.  Results drain ``LAG`` frames behind into the MapState,
+    so no dispatch ever waits on a device->host transfer.  BA triggers
+    and mode exits force a full drain (and, for BA, a refined-pose push
+    back into the device state)."""
+
+    LAG = 2
+
+    def __init__(self, tracker):
+        import collections
+
+        self.tr = tracker
+        self.caps = dict(
+            NS=tracker.NS, NLS=tracker.NLS, NO=tracker.NO, NLO=tracker.NLO,
+            P=tracker.P_OBJ, L=tracker.L_OBJ, MAXO=tracker.MAXO,
+            GCAP=2 * tracker.MAXO,
+        )
+        self.state = None
+        self.pending = collections.deque()
+        self._fns = {}
+        self._prev_gt = None        # (gt_objs, pose_gt) of frame f-1
+        self._last_pose = None      # most recent drained pose (T_cw)
+
+    # -- eligibility ----------------------------------------------------
+    @staticmethod
+    def eligible(cfg):
+        return (
+            cfg.use_joint_optimization
+            and cfg.k1 == 0 and cfg.k2 == 0 and cfg.k3 == 0
+            and cfg.p1 == 0 and cfg.p2 == 0
+        )
+
+    # -- mode transitions ----------------------------------------------
+    def enter(self):
+        tr = self.tr
+        self.state = state_from_host(
+            tr.last, tr.last_meta, tr.max_id, tr.velocity,
+            tr.last_mask_np, tr.last_flow_np, tr.MAXO,
+        )
+        self._prev_gt = (tr.last.get("gt_objs", []), tr.last["pose_gt"])
+        self._last_pose = np.asarray(tr.last["pose"])
+
+    def exit(self):
+        """Drain everything and write the device state back to the host
+        tracker (so host-path frames / checkpointing can continue)."""
+        tr = self.tr
+        self.drain_all()
+        last, meta, max_id = state_to_host(self.state)
+        last["pose_gt"] = self._prev_gt[1]
+        last["gt_objs"] = self._prev_gt[0]
+        tr.last = last
+        tr.last_meta = meta
+        tr.max_id = max_id
+        tr.velocity = np.asarray(self.state.velocity)
+        tr.last_mask_np = np.asarray(self.state.last_mask)
+        tr.last_flow_np = np.asarray(self.state.last_flow)
+        tr.mask_np = tr.last_mask_np.copy()
+        self.state = None
+
+    # -- per-frame ------------------------------------------------------
+    def _fn(self, need_fast, need_lines, use_grid):
+        keyk = (need_fast, need_lines, use_grid)
+        fn = self._fns.get(keyk)
+        if fn is not None:
+            return fn
+        tr = self.tr
+        cfg = tr.cfg
+        caps = self.caps
+        step = build_resident_step(cfg, tr.K, caps)
+        N_CAND, NL_CAND = tr.N_CAND, tr.NL_CAND
+        if need_fast or need_lines:
+            from ..ops import fast as fast_ops, lines as line_ops
+
+            fcfg = tr._fast_cfg() if need_fast else None
+            lcfg = tr._line_cfg() if need_lines else None
+
+        def run(state, gray, depth_raw, flow, mask,
+                inj_cand, inj_cand_v, inj_l, inj_lv,
+                gt_prev, gt_cur, fid):
+            h, w = mask.shape
+            if need_fast:
+                uv, _, va = fast_ops.detect_keypoints(
+                    gray.astype(jnp.float32), fcfg
+                )
+                n = min(uv.shape[0], N_CAND)
+                cand = jnp.zeros((N_CAND, 2), jnp.float32).at[:n].set(
+                    uv[:n].astype(jnp.float32)
+                )
+                cand_v = jnp.zeros(N_CAND, jnp.bool_).at[:n].set(va[:n])
+            elif use_grid:
+                cand = jnp.asarray(
+                    fr.grid_sample_uv(h, w, n_points=N_CAND), jnp.float32
+                )
+                cand_v = jnp.ones(N_CAND, jnp.bool_)
+            else:
+                cand, cand_v = inj_cand, inj_cand_v
+            if need_lines:
+                seg = line_ops.detect_lines(
+                    gray.astype(jnp.float32), lcfg
+                )
+                # compact valid rows in order, like the host's uv4[valid]
+                idx, iv = _first_k(seg.valid, NL_CAND)
+                lcand = seg.uv4[idx] * iv[:, None]
+                lv = iv
+            else:
+                lcand, lv = inj_l, inj_lv
+            key = jax.random.PRNGKey(fid)
+            return step(state, depth_raw, flow, mask, cand, cand_v,
+                        lcand, lv, gt_prev, gt_cur, key)
+
+        fn = jax.jit(run)
+        self._fns[keyk] = fn
+        return fn
+
+    def track(self, gray, depth_raw, flow, mask, pose_gt, gt_objs,
+              timing, f_id, n_images, stop_frame,
+              line_detections=None, point_detections=None):
+        import threading
+        import time as _time
+
+        tr = self.tr
+        cfg = tr.cfg
+
+        # BA trigger for the PREVIOUS frame must complete before this
+        # dispatch (the refined pose feeds this frame's solve)
+        if self._lba_trigger(f_id - 1):
+            self.drain_all()
+            self._run_partial_ba()
+
+        need_fast = cfg.use_sample_fea == 0 and point_detections is None
+        need_lines = line_detections is None and cfg.use_lines
+        use_grid = not need_fast and point_detections is None
+        fn = self._fn(need_fast, need_lines, use_grid)
+
+        N_CAND, NL_CAND = tr.N_CAND, tr.NL_CAND
+        inj_cand = np.zeros((N_CAND, 2), np.float32)
+        inj_cand_v = np.zeros(N_CAND, bool)
+        if point_detections is not None:
+            n = min(len(point_detections), N_CAND)
+            inj_cand[:n] = point_detections[:n]
+            inj_cand_v[:n] = True
+        inj_l = np.zeros((NL_CAND, 4), np.float32)
+        inj_lv = np.zeros(NL_CAND, bool)
+        if line_detections is not None and len(line_detections):
+            n = min(len(line_detections), NL_CAND)
+            inj_l[:n] = line_detections[:n]
+            inj_lv[:n] = True
+
+        t0 = _time.perf_counter()
+        state, out = fn(
+            self.state, jnp.asarray(np.ascontiguousarray(gray)),
+            jnp.asarray(depth_raw, jnp.float32),
+            jnp.asarray(np.ascontiguousarray(flow, dtype=np.float32)),
+            jnp.asarray(mask, jnp.int32),
+            inj_cand, inj_cand_v, inj_l, inj_lv,
+            gt_sem_table(self._prev_gt[0]), gt_sem_table(gt_objs),
+            jnp.asarray(f_id, jnp.int32),
+        )
+        self.state = state
+        timing[1] = (_time.perf_counter() - t0) * 1e3
+
+        out.copy_to_host_async()
+        holder = {"np": None, "err": None}
+
+        def _pull(out=out, holder=holder):
+            try:
+                # np.array: a writable copy (BA write-back mutates map
+                # rows in place)
+                holder["np"] = np.array(out)
+            except Exception as e:
+                holder["err"] = e
+
+        th = threading.Thread(target=_pull, daemon=True)
+        th.start()
+        self.pending.append(dict(
+            f_id=f_id, th=th, holder=holder,
+            pose_gt=pose_gt, gt_objs=gt_objs,
+            prev_gt=self._prev_gt, timing=timing.copy(),
+            stop_frame=stop_frame,
+        ))
+        self._prev_gt = (gt_objs, pose_gt)
+
+        while len(self.pending) > self.LAG:
+            self._drain_one()
+        # the LAST frame of the sequence finishes synchronously so the
+        # final pose/map are exact
+        if f_id >= stop_frame or f_id >= n_images - 1:
+            self.drain_all()
+            run_global = (
+                cfg.run_global_ba if cfg.run_global_ba is not None
+                else cfg.choose_data == 2
+            )
+            if f_id == stop_frame and run_global:
+                self.exit()
+                from ..solvers import ba_builder
+                ba_builder.full_batch_optimization(
+                    tr.map, tr.K, cfg, use_lines=cfg.use_lines
+                )
+        return np.asarray(self._last_pose)
+
+    # -- draining -------------------------------------------------------
+    def drain_all(self):
+        while self.pending:
+            self._drain_one()
+
+    def _lba_trigger(self, f_id):
+        cfg = self.tr.cfg
+        return (
+            cfg.run_local_ba
+            and f_id >= 0
+            and (f_id - cfg.overlap_size + 1)
+            % max(cfg.window_size - cfg.overlap_size, 1) == 0
+            and f_id >= cfg.window_size - 1
+        )
+
+    def _run_partial_ba(self):
+        import time as _time
+
+        tr = self.tr
+        cfg = tr.cfg
+        from ..solvers import ba_builder
+
+        t0 = _time.perf_counter()
+        ba_builder.partial_batch_optimization(
+            tr.map, tr.K, cfg.window_size, cfg, use_lines=cfg.use_lines,
+        )
+        tr.map.lba_times.append((_time.perf_counter() - t0) * 1e3)
+        pose_np = np.linalg.inv(tr.map.camera_poses[-1]).astype(np.float32)
+        self.state = self.state._replace(pose=jnp.asarray(pose_np))
+        self._last_pose = pose_np
+
+    def _drain_one(self):
+        p = self.pending.popleft()
+        p["th"].join()
+        if p["holder"]["err"] is not None:
+            raise p["holder"]["err"]
+        o = unpack_out(p["holder"]["np"], self.caps)
+        tr = self.tr
+        cfg = tr.cfg
+        pose_np = o["pose"]
+        velocity = o["velocity"]
+        pose_gt = p["pose_gt"]
+        prev_gt_objs, prev_pose_gt = p["prev_gt"]
+        curr_twc_gt = np.linalg.inv(pose_gt)
+        last_twc_gt = np.linalg.inv(prev_pose_gt)
+        EYE = np.eye(4, dtype=np.float32)
+
+        obj_meta = []
+        for k in range(tr.MAXO):
+            if not bool(o["lane_valid"][k]):
+                continue
+            sem = int(o["lane_sem"][k])
+            stat = bool(o["lane_stat"][k])
+            H = np.asarray(o["lane_H"][k], np.float32)
+            centre = np.asarray(o["lane_centre"][k], np.float32)
+            L_w_p = tr._gt_obj_pose(list(prev_gt_objs), sem, last_twc_gt)
+            L_w_c = tr._gt_obj_pose(list(p["gt_objs"]), sem, curr_twc_gt)
+            H_gt_body = EYE.copy()
+            H_gt_world = EYE.copy()
+            pose_pre = EYE.copy()
+            if L_w_p is not None and L_w_c is not None:
+                H_gt_body = (np.linalg.inv(L_w_p) @ L_w_c).astype(np.float32)
+                H_gt_world = (L_w_c @ np.linalg.inv(L_w_p)).astype(np.float32)
+                pose_pre = L_w_p
+            sp = H_gt_world[:3, 3] - (
+                np.eye(3) - H_gt_world[:3, :3]
+            ) @ centre[:3]
+            obj_meta.append(dict(
+                label=int(o["lane_label"][k]), sem=sem, stat=stat, H=H,
+                speed_gt=float(np.linalg.norm(sp)) * 36.0,
+                H_gt_body=H_gt_body, pose_pre=pose_pre, centre=centre,
+            ))
+
+        # ---- map mirror (tracking._push_map) ----
+        from . import tracking as _T
+
+        m = tr.map
+        st = o
+        m.stat_uv.append(st["stat_uv"])
+        m.stat_depth.append(st["stat_depth"])
+        m.stat_3d.append(st["stat_3d"])
+        m.stat_valid.append(st["stat_valid"])
+        m.stat_asso.append(st["stat_asso"])
+        m.line_uv.append(st["line_uv"])
+        m.line_depth.append(st["line_depth"])
+        m.line_3d.append(st["line_3d"])
+        m.line_valid.append(st["line_valid"])
+        m.line_asso.append(st["line_asso"])
+        m.line_plucker.append(
+            _T._np_plucker(st["line_3d"][:, :3], st["line_3d"][:, 3:])
+        )
+        m.dyn_uv.append(st["obj_uv"])
+        m.dyn_depth.append(st["obj_depth"])
+        m.dyn_3d.append(st["obj_3d"])
+        m.dyn_valid.append(st["obj_valid"])
+        m.dyn_asso.append(st["obj_asso"])
+        m.dyn_label.append(st["obj_label"])
+        m.dline_uv.append(st["oline_uv"])
+        m.dline_depth.append(st["oline_depth"])
+        m.dline_3d.append(st["oline_3d"])
+        m.dline_valid.append(st["oline_valid"])
+        m.dline_asso.append(st["oline_asso"])
+        m.dline_label.append(st["oline_label"])
+        m.dline_plucker.append(
+            _T._np_plucker(st["oline_3d"][:, :3], st["oline_3d"][:, 3:])
+        )
+        m.camera_poses.append(np.linalg.inv(pose_np).astype(np.float32))
+        m.camera_poses_rf.append(np.linalg.inv(pose_np).astype(np.float32))
+        m.camera_poses_gt.append(np.linalg.inv(pose_gt).astype(np.float32))
+
+        cam_motion = np.linalg.inv(velocity).astype(np.float32)
+        motions = [cam_motion]
+        pose_pres = [cam_motion]
+        labels = [0]
+        sems = [0]
+        stats = [True]
+        centres = [np.zeros(3, np.float32)]
+        motions_gt = [
+            (prev_pose_gt @ np.linalg.inv(pose_gt)).astype(np.float32)
+        ]
+        speeds = [1.0]
+        for om in obj_meta:
+            if not om["stat"]:
+                continue
+            motions.append(om["H"])
+            pose_pres.append(om["pose_pre"])
+            labels.append(om["label"])
+            sems.append(om["sem"])
+            stats.append(True)
+            centres.append(om["centre"])
+            motions_gt.append(om["H_gt_body"])
+            speeds.append(om["speed_gt"])
+        m.rigid_motions.append(motions)
+        m.rigid_motions_rf.append([x.copy() for x in motions])
+        m.rigid_motions_gt.append(motions_gt)
+        m.obj_pose_pre.append(pose_pres)
+        m.rigid_centres.append(centres)
+        m.rm_labels.append(labels)
+        m.sm_labels.append(sems)
+        m.obj_stat.append(stats)
+        m.speeds_gt.append(speeds)
+        m.frame_times.append(p["timing"])
+        self._last_pose = pose_np
+        tr.velocity = velocity

@@ -98,6 +98,7 @@ class System:
 
         t = self.tracker
         t.flush()
+        t.sync_host_state()
         blob = dict(
             f_id=t.f_id, max_id=t.max_id, velocity=t.velocity,
             origin_inv=t.origin_inv, last=t.last, last_meta=t.last_meta,

@@ -220,18 +220,29 @@ class Tracking:
         self.last_flow_np: Optional[np.ndarray] = None   # mFlowMapLast
         self._detect_jits: dict = {}                     # (fast?,lines?)->jit
         self._inflight: Optional[dict] = None            # pipelined frame
+        self._res = None                                 # ResidentDriver
 
         self._build_jits()
 
     # ------------------------------------------------------------------
     def flush(self) -> None:
         """Finish any in-flight pipelined frame (pull + renew + map push +
-        BA triggers).  Idempotent; called automatically at the start of
-        the next frame and by any map/results consumer."""
+        BA triggers) and drain the resident stream.  Idempotent; called
+        automatically at the start of the next frame and by any
+        map/results consumer."""
+        if self._res is not None:
+            self._res.drain_all()
         if self._inflight is not None:
             fl = self._inflight
             self._inflight = None
             self._track_finish(fl)
+
+    def sync_host_state(self) -> None:
+        """Write any device-resident state back to the host ``last`` dict
+        (for checkpointing / mode transitions)."""
+        if self._res is not None:
+            self._res.exit()
+            self._res = None
 
     # ------------------------------------------------------------------
     # jitted stages
@@ -579,6 +590,35 @@ class Tracking:
                 np.linalg.inv(np.asarray(gt_pose, np.float32))
                 @ self.origin_inv
             ).astype(np.float32)
+
+        # --- device-resident steady loop (models/resident.py): the whole
+        # pipeline runs as one jit against device state; host pushes
+        # images, map rows stream back lagged.  Parity with the host path
+        # is enforced by tests/test_resident.py. ---
+        if (cfg.resident_tracking and cfg.use_joint_optimization
+                and self.f_id > 0
+                and (self._res is not None or self.last is not None)):
+            from .resident import ResidentDriver
+
+            if ResidentDriver.eligible(cfg):
+                gt_objs = [np.asarray(r, np.float32) for r in obj_poses_gt]
+                if self._res is None:
+                    self.flush()
+                    self._res = ResidentDriver(self)
+                    self._res.enter()
+                pose = self._res.track(
+                    gray, depth_raw, flow, mask, pose_gt, gt_objs, timing,
+                    self.f_id, n_images, stop_frame,
+                    line_detections=line_detections,
+                    point_detections=point_detections,
+                )
+                if self._res.state is None:   # exited (global BA at stop)
+                    self._res = None
+                self.f_id += 1
+                return pose
+        if self._res is not None:
+            self._res.exit()
+            self._res = None
 
         # --- detector dispatches (device, async).  Results are consumed
         # only by the renewal top-up, i.e. AFTER the frame's solve pull.

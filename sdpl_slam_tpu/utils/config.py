@@ -100,6 +100,13 @@ class Settings:
     # lags one frame (the last frame always finishes synchronously).  New
     # capability -- the reference is strictly synchronous per frame.
     pipelined_tracking: bool = True
+    # device-resident frame loop (models/resident.py): the whole per-frame
+    # pipeline (mask recovery -> selections -> solves -> renewal) runs as
+    # ONE jit against device-resident state; the host pushes images and
+    # receives map rows on a lagging async stream.  Host-path parity is
+    # enforced by tests/test_resident.py.  Requires bJoint and zero
+    # distortion; return value lags LAG frames (map is flushed on read).
+    resident_tracking: bool = False
     min_object_points: int = 150      # Tracking.cc:2581
     min_pnp_inliers_obj: int = 50     # Tracking.cc:1387
     boundary_shrink_x: int = 25       # KITTI boundary rejection, Tracking.cc:2476

@@ -106,3 +106,82 @@ def test_resident_matches_host_noisy():
     for t, tr, lastD, metaD, max_idD in _run_pair(noise_flow=0.2,
                                                   n_objects=2):
         _compare(t, tr, lastD, metaD, max_idD)
+
+
+def _run_system(resident: bool, detectors_in_loop: bool, local_ba=False):
+    cfg = SynthConfig(n_frames=6, n_objects=2, noise_flow=0.1)
+    seq = SynthSequence(cfg)
+    settings = synth_settings(cfg)
+    settings.resident_tracking = resident
+    settings.run_local_ba = local_ba
+    if local_ba:
+        settings.window_size = 4
+        settings.overlap_size = 2
+    if detectors_in_loop:
+        settings.use_sample_fea = 0
+    sys_ = System(settings, verbose=False)
+    n = seq.n_frames - 1
+    for t in range(n):
+        f = seq.frame(t)
+        sys_.track_rgbd(
+            f.gray, f.depth, f.flow, f.mask, f.gt_pose, f.obj_rows,
+            float(t) * 0.1, n,
+            line_detections=None if detectors_in_loop else f.lines,
+        )
+    return sys_.map
+
+
+def _maps_close(a, b):
+    flat_exact = ("stat_valid", "line_valid", "dyn_valid", "dyn_label",
+                  "dline_label", "stat_asso")
+    flat_float = ("camera_poses", "camera_poses_gt", "stat_uv", "stat_3d",
+                  "line_uv", "dyn_uv", "dyn_3d")
+    for name in flat_exact:
+        va, vb = getattr(a, name), getattr(b, name)
+        assert len(va) == len(vb), name
+        for i, (x, y) in enumerate(zip(va, vb)):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y), err_msg=f"{name}[{i}]"
+            )
+    for name in flat_float:
+        va, vb = getattr(a, name), getattr(b, name)
+        assert len(va) == len(vb), name
+        for i, (x, y) in enumerate(zip(va, vb)):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=5e-3, rtol=1e-4,
+                err_msg=f"{name}[{i}]",
+            )
+    for name in ("rm_labels", "sm_labels", "obj_stat"):
+        assert getattr(a, name) == getattr(b, name), name
+    for name in ("rigid_motions", "speeds_gt", "rigid_motions_gt"):
+        va, vb = getattr(a, name), getattr(b, name)
+        assert len(va) == len(vb), name
+        for i, (ra, rb) in enumerate(zip(va, vb)):
+            assert len(ra) == len(rb), f"{name}[{i}]"
+            for j, (x, y) in enumerate(zip(ra, rb)):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), atol=5e-3, rtol=1e-3,
+                    err_msg=f"{name}[{i}][{j}]",
+                )
+
+
+def test_resident_system_matches_host_injected():
+    m_host = _run_system(resident=False, detectors_in_loop=False)
+    m_res = _run_system(resident=True, detectors_in_loop=False)
+    _maps_close(m_host, m_res)
+
+
+def test_resident_system_matches_host_detectors():
+    m_host = _run_system(resident=False, detectors_in_loop=True)
+    m_res = _run_system(resident=True, detectors_in_loop=True)
+    _maps_close(m_host, m_res)
+
+
+def test_resident_system_with_local_ba():
+    m_host = _run_system(resident=False, detectors_in_loop=False,
+                         local_ba=True)
+    m_res = _run_system(resident=True, detectors_in_loop=False,
+                        local_ba=True)
+    # BA runs in both modes at the same trigger frames; refined
+    # trajectories must agree
+    _maps_close(m_host, m_res)
