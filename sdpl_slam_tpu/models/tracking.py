@@ -220,6 +220,7 @@ class Tracking:
         self.last_flow_np: Optional[np.ndarray] = None   # mFlowMapLast
         self._detect_jits: dict = {}                     # (fast?,lines?)->jit
         self._inflight: Optional[dict] = None            # pipelined frame
+        self._deferred_push: Optional[tuple] = None      # lazy map push
         self._res = None                                 # ResidentDriver
 
         self._build_jits()
@@ -232,10 +233,17 @@ class Tracking:
         map/results consumer."""
         if self._res is not None:
             self._res.drain_all()
+        self._run_deferred_push()   # always older than the inflight frame
         if self._inflight is not None:
             fl = self._inflight
             self._inflight = None
             self._track_finish(fl)
+
+    def _run_deferred_push(self) -> None:
+        if self._deferred_push is not None:
+            args = self._deferred_push
+            self._deferred_push = None
+            self._push_map(*args)
 
     def sync_host_state(self) -> None:
         """Write any device-resident state back to the host ``last`` dict
@@ -653,8 +661,13 @@ class Tracking:
         # --- finish the previous frame's in-flight work (pipelined mode).
         # Runs BEFORE this frame's images overwrite self.mask_np/depth_np;
         # by now the previous solve has had the whole inter-call gap to
-        # complete and its packed result transfer has landed. ---
-        self.flush()
+        # complete and its packed result transfer has landed.  The map
+        # push is DEFERRED past this frame's dispatch (it feeds nothing on
+        # the tracking path) unless a BA trigger fires. ---
+        if self._inflight is not None:
+            fl_prev = self._inflight
+            self._inflight = None
+            self._track_finish(fl_prev, defer_push=True)
 
         # --- mask recovery (UpdateMask, Tracking.cc:4730-4810) ---
         self.mask_np = np.asarray(mask, np.int32).copy()
@@ -686,6 +699,8 @@ class Tracking:
                 flow_np, obj_tmp, pose_gt, gt_objs, timing, stop_frame,
                 det, point_detections, line_detections,
             )
+            # previous frame's map push overlaps this frame's device solve
+            self._run_deferred_push()
             last_frame = (
                 self.f_id >= stop_frame or self.f_id >= n_images - 1
             )
@@ -1080,7 +1095,7 @@ class Tracking:
             t_disp=(_time.perf_counter() - t0),
         )
 
-    def _track_finish(self, fin):
+    def _track_finish(self, fin, defer_push=False):
         """Post-pull half: pull the fused results, apply scene-flow static
         decisions, commit objects, renew tracked features, push the map,
         and fire the BA triggers.  Reads the frame's depth/mask through
@@ -1188,18 +1203,46 @@ class Tracking:
         timing[4] = (_time.perf_counter() - t0) * 1e3
 
         # ================= MAP =================
-        self._push_map(new_state, pose_np, pose_gt, obj_meta, timing)
+        prev_pose_gt = last["pose_gt"]
+        velocity_now = self.velocity
         self.last = new_state
-
-        # ===== batch optimization triggers (Tracking.cc:1793-1884) =====
-        from ..solvers import ba_builder
-
-        if (
+        # association meta for the NEXT frame's grouping (must update in
+        # the finish, not the deferrable map push -- DynObjTracking reads
+        # it before the push would run)
+        self.last_meta = {
+            "sem_position": [om["sem"] for om in obj_meta],
+            "mod_label": [om["label"] for om in obj_meta],
+            "obj_stat": [om["stat"] for om in obj_meta],
+            "obj_motion": {
+                om["label"]: om["H"] for om in obj_meta if om["stat"]
+            },
+        }
+        lba_fires = (
             cfg.run_local_ba
             and (f_id - cfg.overlap_size + 1)
             % max(cfg.window_size - cfg.overlap_size, 1) == 0
             and f_id >= cfg.window_size - 1
-        ):
+        )
+        run_global_fires = (
+            cfg.run_global_ba
+            if cfg.run_global_ba is not None
+            else cfg.choose_data == KITTI
+        ) and f_id == stop_frame
+        if defer_push and not lba_fires and not run_global_fires:
+            # the map push (incl. the world-3D recompute) runs after the
+            # NEXT frame's dispatch, overlapping its device solve
+            self._deferred_push = (
+                new_state, pose_np, pose_gt, prev_pose_gt, velocity_now,
+                obj_meta, timing,
+            )
+            return pose_np
+        self._push_map(new_state, pose_np, pose_gt, prev_pose_gt,
+                       velocity_now, obj_meta, timing)
+
+        # ===== batch optimization triggers (Tracking.cc:1793-1884) =====
+        from ..solvers import ba_builder
+
+        if lba_fires:
             t0 = _time.perf_counter()
             ba_builder.partial_batch_optimization(
                 self.map, self.K, cfg.window_size, cfg,
@@ -1211,12 +1254,7 @@ class Tracking:
             ).astype(np.float32)
             self.last["pose"] = pose_np
 
-        run_global = (
-            cfg.run_global_ba
-            if cfg.run_global_ba is not None
-            else cfg.choose_data == KITTI
-        )
-        if f_id == stop_frame and run_global:
+        if run_global_fires:
             ba_builder.full_batch_optimization(
                 self.map, self.K, cfg, use_lines=cfg.use_lines
             )
@@ -1851,26 +1889,23 @@ class Tracking:
         nol_f = np.concatenate([lf_s, lf_e], axis=1).astype(np.float32)
         nol_c = nol_uv + nol_f
 
-        # ---- recompute 3D in world (host; tiny arrays) ----
-        stat_3d = _np_world_points(self.K, pose_np, new_uv, new_d)
-        line_3d = _np_world_lines(self.K, pose_np, new_l, new_ld)
-        obj_3d = _np_world_points(self.K, pose_np, no_uv, no_d)
-        oline_3d = _np_world_lines(self.K, pose_np, nol_uv, nol_d)
-
+        # world-3D recompute happens in _push_map (nothing on the joint
+        # tracking path reads it; doing it after the NEXT dispatch takes
+        # ~4 ms off the renewal -> dispatch critical path)
         return dict(
             pose=pose_np, pose_gt=pose_gt,
             stat_uv=new_uv, stat_depth=new_d, stat_flow=new_f,
-            stat_corres=new_c, stat_valid=stat_valid, stat_3d=stat_3d,
+            stat_corres=new_c, stat_valid=stat_valid,
             stat_asso=new_asso,
             line_uv=new_l, line_depth=new_ld, line_flow=new_lf,
-            line_corres=new_lc, line_valid=line_valid, line_3d=line_3d,
+            line_corres=new_lc, line_valid=line_valid,
             line_asso=new_lasso,
             obj_uv=no_uv, obj_depth=no_d, obj_flow=no_f, obj_corres=no_c,
-            obj_sem=no_sem, obj_valid=obj_valid, obj_3d=obj_3d,
+            obj_sem=no_sem, obj_valid=obj_valid,
             obj_label=no_label, obj_asso=no_asso,
             oline_uv=nol_uv, oline_depth=nol_d, oline_flow=nol_f,
             oline_corres=nol_c, oline_sem=nol_sem, oline_valid=oline_valid,
-            oline_3d=oline_3d, oline_label=nol_label, oline_asso=nol_asso,
+            oline_label=nol_label, oline_asso=nol_asso,
             gt_objs=gt_objs,
         )
 
@@ -1924,9 +1959,26 @@ class Tracking:
         return dup.any(axis=1)
 
     # ------------------------------------------------------------------
-    def _push_map(self, st, pose_np, pose_gt, obj_meta, timing):
-        """Map appends (Tracking.cc:1578-1786)."""
+    def _push_map(self, st, pose_np, pose_gt, prev_pose_gt, velocity,
+                  obj_meta, timing):
+        """Map appends (Tracking.cc:1578-1786).  Pure with respect to
+        tracker state (only the map mutates): ``prev_pose_gt`` and
+        ``velocity`` are passed explicitly because in deferred mode this
+        runs after the NEXT frame has already updated self.last/velocity."""
         m = self.map
+        if "stat_3d" not in st:
+            st["stat_3d"] = _np_world_points(
+                self.K, pose_np, st["stat_uv"], st["stat_depth"]
+            )
+            st["line_3d"] = _np_world_lines(
+                self.K, pose_np, st["line_uv"], st["line_depth"]
+            )
+            st["obj_3d"] = _np_world_points(
+                self.K, pose_np, st["obj_uv"], st["obj_depth"]
+            )
+            st["oline_3d"] = _np_world_lines(
+                self.K, pose_np, st["oline_uv"], st["oline_depth"]
+            )
         m.stat_uv.append(st["stat_uv"]); m.stat_depth.append(st["stat_depth"])
         m.stat_3d.append(st["stat_3d"]); m.stat_valid.append(st["stat_valid"])
         m.stat_asso.append(st["stat_asso"])
@@ -1946,7 +1998,7 @@ class Tracking:
         m.camera_poses_rf.append(np.linalg.inv(pose_np).astype(np.float32))
         m.camera_poses_gt.append(np.linalg.inv(pose_gt).astype(np.float32))
 
-        cam_motion = np.linalg.inv(self.velocity).astype(np.float32)
+        cam_motion = np.linalg.inv(velocity).astype(np.float32)
         motions = [cam_motion]
         pose_pres = [cam_motion]
         labels = [0]
@@ -1954,15 +2006,10 @@ class Tracking:
         stats = [True]
         centres = [np.zeros(3, np.float32)]
         motions_gt = [
-            (self.last["pose_gt"] @ np.linalg.inv(pose_gt)).astype(np.float32)
+            (prev_pose_gt @ np.linalg.inv(pose_gt)).astype(np.float32)
         ]
         speeds = [1.0]
-        sem_position, mod_label, obj_stat_meta = [], [], []
-        obj_motion_map = {}
         for om in obj_meta:
-            sem_position.append(om["sem"])
-            mod_label.append(om["label"])
-            obj_stat_meta.append(om["stat"])
             if not om["stat"]:
                 continue
             motions.append(om["H"])
@@ -1973,7 +2020,6 @@ class Tracking:
             centres.append(om["centre"])
             motions_gt.append(om["H_gt_body"])
             speeds.append(om["speed_gt"])
-            obj_motion_map[om["label"]] = om["H"]
         m.rigid_motions.append(motions)
         m.rigid_motions_rf.append([x.copy() for x in motions])
         m.rigid_motions_gt.append(motions_gt)
@@ -1984,10 +2030,3 @@ class Tracking:
         m.obj_stat.append(stats)
         m.speeds_gt.append(speeds)
         m.frame_times.append(timing.copy())
-
-        self.last_meta = {
-            "sem_position": sem_position,
-            "mod_label": mod_label,
-            "obj_stat": obj_stat_meta,
-            "obj_motion": obj_motion_map,
-        }

@@ -75,6 +75,91 @@ def shard_graph(graph: bb.BAGraph, mesh: Mesh, axis: str = "edge"):
     return bb.BAGraph(**out)
 
 
+# (edge-id field, frame-locality sort key field) per edge family: sorting
+# edges by the frame (or frame-ordered vertex id) they touch makes a
+# contiguous edge shard reference a contiguous variable range, so the
+# partitioned variable layout below keeps most gathers/scatter-adds local
+_EDGE_SORT_KEYS = {
+    "odo": ("odo_i", ("odo_i", "odo_j", "odo_meas", "odo_valid")),
+    "smo": ("smo_i", ("smo_i", "smo_j", "smo_valid")),
+    "sp": ("sp_cam", ("sp_cam", "sp_pt", "sp_meas", "sp_valid")),
+    "sl": ("sl_cam", ("sl_cam", "sl_line", "sl_meas", "sl_valid")),
+    "dp": ("dp_cam", ("dp_cam", "dp_pt", "dp_meas", "dp_valid")),
+    "tern": ("tern_mot", ("tern_prev", "tern_cur", "tern_mot",
+                          "tern_valid")),
+    "dl": ("dl_cam", ("dl_cam", "dl_line", "dl_meas", "dl_valid")),
+    "ltern": ("ltern_mot", ("ltern_prev", "ltern_cur", "ltern_mot",
+                            "ltern_valid")),
+}
+
+# variable arrays sharded along their leading axis in partitioned mode
+# (frame blocks for poses/motions; id blocks for structure -- the builder
+# assigns ids in frame order, so blocks are frame-local)
+_VAR_FIELDS = {
+    "cam_T0", "cam_valid", "mot_T0", "mot_valid",
+    "Xs0", "Xs_valid", "Ls_U0", "Ls_w0", "Ls_valid",
+    "Xd0", "Xd_valid", "Ld_U0", "Ld_w0", "Ld_valid",
+}
+
+
+def shard_graph_partitioned(graph: bb.BAGraph, mesh: Mesh,
+                            axis: str = "edge"):
+    """Frame-range partitioning (SURVEY 7.3): edge arrays are SORTED by
+    the frame they touch and sharded in contiguous blocks; variable
+    arrays are sharded along their leading axis instead of replicated,
+    so variable memory scales with chip count.  GSPMD inserts the halo
+    collectives for the (rare, block-boundary) cross-shard references --
+    ternary motion edges touching the previous frame's dynamic points
+    are the main source (Optimizer.cc:4763-4813).
+
+    Step results are identical to the replicated layout (the graph is a
+    permutation of the same edge set; reductions are order-fixed by the
+    segment ids)."""
+    import numpy as np_
+
+    n = mesh.devices.size
+    edge_spec = NamedSharding(mesh, P(axis))
+    repl_spec = NamedSharding(mesh, P())
+    vals = graph._asdict()
+    out = dict(vals)
+    for fam, (keyf, fields) in _EDGE_SORT_KEYS.items():
+        key = np_.asarray(vals[keyf])
+        validf = fields[-1]
+        valid = np_.asarray(vals[validf]).astype(bool)
+        order = np_.argsort(
+            np_.where(valid, key, np_.iinfo(np_.int64).max), kind="stable"
+        )
+        for f in fields:
+            out[f] = np_.asarray(vals[f])[order]
+    result = {}
+    edge_fields = {f for _, fs in _EDGE_SORT_KEYS.values() for f in fs}
+    for name, val in out.items():
+        if name in edge_fields:
+            val = _pad_to_multiple(jnp.asarray(val), n)
+            result[name] = jax.device_put(val, edge_spec)
+        elif name in _VAR_FIELDS:
+            # NOTE: variable axes are padded only if needed; GSPMD
+            # accepts uneven shards but padding keeps layouts simple
+            v = jnp.asarray(val)
+            if v.shape[0] % n == 0:
+                result[name] = jax.device_put(v, edge_spec)
+            else:
+                result[name] = jax.device_put(v, repl_spec)
+        else:
+            result[name] = jax.device_put(jnp.asarray(val), repl_spec)
+    return bb.BAGraph(**result)
+
+
+def state_from_graph(graph: bb.BAGraph) -> bb.BAState:
+    """Initial state aliasing the graph's (possibly sharded) vertex
+    initializations."""
+    return bb.BAState(
+        cam_T=graph.cam_T0, mot_T=graph.mot_T0,
+        Xs=graph.Xs0, Ls_U=graph.Ls_U0, Ls_w=graph.Ls_w0,
+        Xd=graph.Xd0, Ld_U=graph.Ld_U0, Ld_w=graph.Ld_w0,
+    )
+
+
 def sharded_ba_step(graph: bb.BAGraph, state: bb.BAState, w: bb.BAWeights,
                     lam, mesh: Mesh, cg_iters: int = 10):
     """One damped-GN BA step with the graph sharded over the mesh.  GSPMD
