@@ -426,6 +426,52 @@ def _write_back(map_state, state, meta, refined: bool):
                                        np.asarray(state.Ld_w)))
 
 
+def _cast_graph(graph, dtype):
+    """Cast the graph's float arrays to ``dtype`` (the f64 escape hatch
+    for long-sequence conditioning: the reference's vendored g2o runs
+    double throughout).  Integer/bool index arrays are untouched."""
+    import numpy as _np
+
+    return type(graph)(*[
+        _np.asarray(v).astype(dtype)
+        if hasattr(v, "dtype")
+        and jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)
+        else v
+        for v in graph
+    ])
+
+
+def _ba_dtype(cfg):
+    name = getattr(cfg, "ba_dtype", "float32") if cfg else "float32"
+    return jnp.float64 if str(name) in ("float64", "f64", "double") \
+        else jnp.float32
+
+
+class _x64_scope:
+    """Enable jax x64 only around the f64 BA solve (enabling it globally
+    would promote scalar constants in every OTHER jit of the process and
+    force recompiles)."""
+
+    def __init__(self, enable: bool):
+        self.enable = enable
+        self._prev = None
+
+    def __enter__(self):
+        if self.enable:
+            import jax
+
+            self._prev = bool(jax.config.jax_enable_x64)
+            jax.config.update("jax_enable_x64", True)
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is not None:
+            import jax
+
+            jax.config.update("jax_enable_x64", self._prev)
+        return False
+
+
 def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
                             use_lines: bool = True, verbose: bool = False):
     """FullBatchOptimizationWithLines over the whole sequence."""
@@ -435,12 +481,15 @@ def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
         min_track_len=(cfg.ba_tracklet_min_len if cfg else 3),
         motion_init_identity=True, prior_info=1e5, use_lines=use_lines,
     )
-    state, cost = bb.run_ba(
-        graph, w,
-        max_iters=(cfg.ba_global_iterations if cfg else 300),  # optimize(300)
-        gain_threshold=(cfg.ba_gain_threshold if cfg else 1e-4),
-        verbose=verbose,
-    )
+    dtype = _ba_dtype(cfg)
+    with _x64_scope(dtype == jnp.float64):
+        graph = _cast_graph(graph, dtype)
+        state, cost = bb.run_ba(
+            graph, w,
+            max_iters=(cfg.ba_global_iterations if cfg else 300),
+            gain_threshold=(cfg.ba_gain_threshold if cfg else 1e-4),
+            verbose=verbose,
+        )
     _write_back(map_state, state, meta, refined=True)
     return cost
 
@@ -458,12 +507,15 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
         motion_init_identity=False, prior_info=1e7,   # I/1e-7, :1463
         use_lines=use_lines,
     )
-    state, cost = bb.run_ba(
-        graph, w,
-        max_iters=(cfg.ba_local_iterations if cfg else 100),  # optimize(100)
-        gain_threshold=(cfg.ba_gain_threshold if cfg else 1e-4),
-        verbose=verbose,
-    )
+    dtype = _ba_dtype(cfg)
+    with _x64_scope(dtype == jnp.float64):
+        graph = _cast_graph(graph, dtype)
+        state, cost = bb.run_ba(
+            graph, w,
+            max_iters=(cfg.ba_local_iterations if cfg else 100),
+            gain_threshold=(cfg.ba_gain_threshold if cfg else 1e-4),
+            verbose=verbose,
+        )
     _write_back(map_state, state, meta, refined=False)
     # refined trajectory starts from the locally-refined primary one
     for i in range(f0, f1):

@@ -130,6 +130,11 @@ class Settings:
     ba_sigma_motion: float = 100.0
     ba_sigma_3d_dynamic: float = 80.0
     ba_huber_delta: float = 1e-4
+    # batch-BA numeric dtype: "float32" (default; TPU-native) or
+    # "float64" (CPU escape hatch for multi-hundred-frame global BA
+    # conditioning -- the reference's vendored g2o runs double
+    # throughout).  f64 enables jax x64 on demand; write-back is f32.
+    ba_dtype: str = "float32"
     ba_tracklet_min_len: int = 3      # Optimizer.cc:3938
     ba_local_iterations: int = 100    # partial optimize(100), Optimizer.cc:2462
     ba_global_iterations: int = 300   # full optimize(300), Optimizer.cc:5337

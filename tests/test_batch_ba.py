@@ -198,3 +198,34 @@ def test_tracklets_built():
     dtr, ids = tk.build_dynamic_tracklets(asso_d, labels)
     assert dtr == [[(0, 0), (1, 0), (2, 0)]]
     assert ids == [2]
+
+
+def test_full_ba_float64_escape_hatch(tracked_map):
+    """ba_dtype=float64 (the g2o-parity conditioning hatch): the solve
+    runs in double, writes back f32, and lands at least as close to GT
+    as the f32 run on the same graph."""
+    import copy
+    import dataclasses as _dc
+
+    from sdpl_slam_tpu.utils import metrics
+    from sdpl_slam_tpu.utils.config import Settings
+
+    m32 = copy.deepcopy(tracked_map.map)
+    m64 = copy.deepcopy(tracked_map.map)
+    K = tracked_map.tracker.K
+    cfg32 = Settings(width=320, height=96)
+    cfg32.ba_global_iterations = 20
+    cfg64 = Settings(width=320, height=96)
+    cfg64.ba_global_iterations = 20
+    cfg64.ba_dtype = "float64"
+
+    ba_builder.full_batch_optimization(m32, K, cfg32)
+    ba_builder.full_batch_optimization(m64, K, cfg64)
+
+    t32, _ = metrics.camera_rpe(m32.camera_poses_rf, m32.camera_poses_gt)
+    t64, _ = metrics.camera_rpe(m64.camera_poses_rf, m64.camera_poses_gt)
+    assert np.isfinite(t64)
+    # double precision must not be (meaningfully) worse
+    assert t64 <= t32 * 1.5 + 1e-6, (t32, t64)
+    # and the refined poses stay f32 in the map
+    assert m64.camera_poses_rf[0].dtype == np.float32
