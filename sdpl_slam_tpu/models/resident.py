@@ -645,7 +645,11 @@ def build_resident_step(cfg, K: Intrinsics, caps: dict):
             pose, T_wl, pt_obs, pt_depth, pt_cur_uv, pt_cur_d, pt_sfvalid
         )
         T_models = jnp.einsum("ij,njk->nik", pose, g_H_prev)
-        okeys = jax.random.split(jax.random.fold_in(key, 7), MAXO)
+        # lane-index folding: identical stream for any lane count (the
+        # host path may use a narrower power-of-two bucket)
+        okeys = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.fold_in(key, 7), i)
+        )(jnp.arange(MAXO))
         T_is, init_inl, init_n = jax.vmap(
             init_model_obj_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0)
         )(okeys, T_models, T_lw, pt_obs, pt_depth, pt_cur_uv, pt_cur_d,

@@ -439,8 +439,12 @@ class Tracking:
             # T_init per object: G = T_cw_cur . H_last (motion-model branch
             # of GetInitModelObj); H_prev is identity for new objects.
             T_models = jnp.einsum("ij,njk->nik", pose, H_prev)
-            okeys = jax.random.split(jax.random.fold_in(key, 7),
-                                     o_obs.shape[0])
+            # per-lane keys folded by LANE INDEX (not split by lane count)
+            # so the stream is identical for any bucket width MB -- keeps
+            # the host and device-resident paths bit-compatible
+            okeys = jax.vmap(
+                lambda i: jax.random.fold_in(jax.random.fold_in(key, 7), i)
+            )(jnp.arange(o_obs.shape[0]))
             T_is, init_inl, init_n = jax.vmap(
                 init_model_obj_one, in_axes=(0, 0, None, 0, 0, 0, 0, 0)
             )(okeys, T_models, T_lw, o_obs, o_depth, o_cur_uv, o_cur_d,
@@ -1346,10 +1350,10 @@ class Tracking:
             return None
         last = self.last
         P, L = self.P_OBJ, self.L_OBJ
-        # fixed MAXO lanes: one compiled variant, and the per-lane RNG key
-        # stream matches the device-resident path exactly (empty lanes are
-        # born converged in the solver, so the extra lanes cost ~nothing)
-        MB = self.MAXO
+        # smallest power-of-two bucket (lane keys are folded by lane
+        # index, so the RNG stream is identical for any MB -- including
+        # the device-resident path's fixed MAXO lanes)
+        MB = min(1 << max(n_obj - 1, 0).bit_length(), self.MAXO)
         b = dict(
             pt_obs=np.zeros((MB, P, 2), np.float32),
             pt_flow0=np.zeros((MB, P, 2), np.float32),
