@@ -162,3 +162,33 @@ def test_batch_ba_step_on_tpu():
     assert np.isfinite(cost)
     t1, r1 = metrics.camera_rpe(m.camera_poses_rf, m.camera_poses_gt)
     assert t1 < 0.02, t1
+
+
+def test_resident_step_runs_on_tpu():
+    """The device-resident frame loop (models/resident.py) executes on
+    the accelerator and tracks a short synthetic sequence to the same
+    accuracy gate as the host path."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from synthetic import SynthConfig, SynthSequence, synth_settings
+    from sdpl_slam_tpu.models.system import System
+    from sdpl_slam_tpu.utils import metrics
+
+    cfg = SynthConfig(n_frames=6, n_objects=1)
+    seq = SynthSequence(cfg)
+    settings = synth_settings(cfg)
+    settings.resident_tracking = True
+    settings.run_local_ba = False
+    sys_ = System(settings, verbose=False)
+    n = seq.n_frames - 1
+    for t in range(n):
+        f = seq.frame(t)
+        sys_.track_rgbd(f.gray, f.depth, f.flow, f.mask, f.gt_pose,
+                        f.obj_rows, t * 0.1, n, line_detections=f.lines)
+    t_err, r_err = metrics.camera_rpe(
+        sys_.map.camera_poses, sys_.map.camera_poses_gt
+    )
+    assert t_err < 0.02, t_err
+    assert r_err < 0.1, r_err
