@@ -566,10 +566,7 @@ def build_resident_step(cfg, K: Intrinsics, caps: dict):
             jnp.sum((pmask_all & p_near[None, :]).astype(jnp.int32), axis=1)
             + jnp.sum((lmask_all & l_near[None, :]).astype(jnp.int32), axis=1)
         )
-        pass_b = near.astype(jnp.float32) <= 0.5 * jnp.maximum(
-            npts + nlns, 1
-        ).astype(jnp.float32)
-        # strict > 0.5 rejection like the host
+        # strict > 0.5 boundary-fraction rejection like the host
         pass_b = ~(near.astype(jnp.float32) / jnp.maximum(
             npts + nlns, 1).astype(jnp.float32) > 0.5)
         far_small = (
@@ -1007,10 +1004,9 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
         )
         (uv, d, f, c, sem, asso), lv = _merge_keep_topup(kv, n, tvv, tn, P)
         lv = lv & okK
-        cnt = jnp.sum(lv.astype(jnp.int32))
-        return (uv, d, f, c, sem, asso, lv, cnt, sem_now)
+        return (uv, d, f, c, sem, asso, lv, sem_now)
 
-    (L_uv, L_d, L_f, L_c, L_sem, L_asso, L_v, L_cnt, L_semnow) = jax.vmap(
+    (L_uv, L_d, L_f, L_c, L_sem, L_asso, L_v, L_semnow) = jax.vmap(
         lane
     )(tracked, tr_ok)
 
