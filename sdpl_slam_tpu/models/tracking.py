@@ -88,13 +88,12 @@ def _np_preprocess_depth(depth_raw: np.ndarray, choose_data: int,
 def obj_pose_parsing_kt(row: np.ndarray) -> np.ndarray:
     """KITTI object-pose row -> 4x4 pose in CAMERA coordinates
     (``ObjPoseParsingKT``, /root/reference/src/Tracking.cc:3134-3241):
-    row = [frame, track_id, B1..B4, t1, t2, t3, yaw]; pose is a rotation
-    about the camera-frame y axis by (yaw - pi/2)... the reference composes
-    R_y(yaw) in the ground-plane convention with t lifted by height/2."""
+    row = [frame, track_id, B1..B4, t1, t2, t3, yaw].  The reference sets
+    y = yaw + pi/2, x = z = 0 (Tracking.cc:3147-3150) and composes
+    R = Ry*Rx*Rz (:3172-3180), which with x=z=0 reduces to Ry(yaw + pi/2);
+    t = row[6:9] is used directly (:3232-3235)."""
     t = row[6:9].astype(np.float64)
-    yaw = float(row[9])
-    # Tracking.cc:3206-3235: y-axis rotation matrix from yaw
-    # (KITTI rotation_y), translation is the bottom-center -> used directly.
+    yaw = float(row[9]) + np.pi / 2.0
     cy, sy = np.cos(yaw), np.sin(yaw)
     pose = np.eye(4, dtype=np.float32)
     pose[:3, :3] = np.array(
@@ -792,12 +791,21 @@ class Tracking:
         # (Lineextractor.cc:70); floored at 8 px for noise robustness.
         # n_octaves/mode follow the yaml line settings (Tracking.cc:113-118
         # hard-codes levels=2, extractor 0=LSD / 1=EDLines).
+        # lsd_nfeatures caps the detection count (0 = unlimited);
+        # lsd_refine=0 (LSD_REFINE_NONE) disables endpoint refinement.
+        # lsd_scale (LSD's internal Gaussian-subsample factor) is
+        # intentionally inert: the tiled-PCA detector has no subsample
+        # stage -- its scale mechanism IS the octave pyramid
+        # (line_levels/line_scale); documented in utils/config.py.
         min_len = max(8.0, 0.02 * min(cfg.width, cfg.height))
+        base = line_ops.LineDetectConfig()
         return line_ops.LineDetectConfig(
             max_lines=self.NL_CAND,
             min_length=min_len,
             n_octaves=max(1, cfg.line_levels),
             mode=1 if cfg.line_extractor == 1 else 0,
+            n_features=max(0, int(cfg.lsd_nfeatures)),
+            refine_steps=0 if cfg.lsd_refine == 0 else base.refine_steps,
         )
 
     def _finish_selection(self, det, point_detections,

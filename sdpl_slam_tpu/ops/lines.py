@@ -62,6 +62,10 @@ class LineDetectConfig(NamedTuple):
     # 1 = EDLines-style (anchors + directed propagation along level lines;
     #     /root/reference/src/Lineextractor.cc:100-135, ED_Lib)
     mode: int = 0
+    # keep only the N longest detections (reference lsd_nfeatures,
+    # Tracking.cc:113 / LSDDetectorC sorts by response and truncates);
+    # 0 = unlimited (the reference default)
+    n_features: int = 0
 
 
 def _sobel(img: jnp.ndarray):
@@ -641,7 +645,15 @@ def detect_lines(img: jnp.ndarray,
         length=jnp.concatenate([s.length for s in outs], 0),
         valid=jnp.concatenate([s.valid for s in outs], 0),
     )
-    return _merge_all(cat.uv4, cat.valid, cfg)
+    merged = _merge_all(cat.uv4, cat.valid, cfg)
+    if cfg.n_features > 0:
+        # lsd_nfeatures cap: keep the n_features longest valid detections
+        # (the reference truncates the response-sorted list)
+        ln = jnp.where(merged.valid, merged.length, -1.0)
+        kth = jnp.sort(ln)[::-1][jnp.minimum(cfg.n_features, ln.shape[0]) - 1]
+        keep = merged.valid & (ln >= jnp.maximum(kth, 0.0))
+        merged = merged._replace(valid=keep)
+    return merged
 
 
 def merge_components_np(uv4, valid,

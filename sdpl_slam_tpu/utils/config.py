@@ -73,8 +73,13 @@ class Settings:
     orb_min_th_fast: int = 7
 
     # --- Line extractor (hard-coded in reference, Tracking.cc:113-118) ---
-    lsd_nfeatures: int = 0
-    lsd_refine: int = 2               # LSD_REFINE_ADV
+    lsd_nfeatures: int = 0            # 0 = unlimited; >0 keeps N longest
+    lsd_refine: int = 2               # LSD_REFINE_ADV; 0 disables endpoint
+    #                                   refinement in the tiled-PCA detector
+    # lsd_scale is LSD's internal Gaussian-subsample factor.  It is
+    # INTENTIONALLY INERT here: the tiled-PCA detector has no subsample
+    # stage -- its scale mechanism is the octave pyramid
+    # (line_levels/line_scale).  Kept so reference yaml files parse.
     lsd_scale: float = 0.8
     line_levels: int = 2
     line_scale: float = 2.0

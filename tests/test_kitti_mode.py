@@ -26,14 +26,16 @@ def test_kitti_disparity_depth_mode():
     for t in range(4):
         f = seq.frame(t)
         # KITTI-format GT rows: [frame, id, B(4), t_camera(3), yaw];
-        # ObjPoseParsingKT lifts them by Twc_gt.  Our boxes don't rotate
-        # in the world and the camera only yaws, so the camera-frame
-        # rotation is R_y(-cam_yaw).
+        # ObjPoseParsingKT builds Ry(yaw + pi/2) and is lifted by Twc_gt.
+        # Our boxes don't rotate in the world and the camera only yaws,
+        # so the camera-frame world yaw is -cam_yaw, and the row yaw must
+        # subtract the reference's +pi/2 offset.
         T_cw = np.linalg.inv(_cam_pose(cfg, t).astype(np.float64))
         L_w = _obj_pose(cfg, 0, t).astype(np.float64)
         t_cam = T_cw[:3, :3] @ L_w[:3, 3] + T_cw[:3, 3]
         kitti_rows = [np.array(
-            [t, 1, 0, 0, 0, 0, t_cam[0], t_cam[1], t_cam[2], -0.012 * t],
+            [t, 1, 0, 0, 0, 0, t_cam[0], t_cam[1], t_cam[2],
+             -0.012 * t - np.pi / 2],
             np.float32,
         )]
         f = f.__class__(**{**f.__dict__, "obj_rows": kitti_rows})

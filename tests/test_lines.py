@@ -65,3 +65,27 @@ def test_merge_produces_long_segments(rng):
     lengths = np.linalg.norm(det[:, 2:] - det[:, :2], axis=1) if len(det) else []
     # after merge rounds, at least one segment much longer than a tile
     assert len(det) > 0 and max(lengths) > 60, lengths
+
+
+def test_lsd_nfeatures_caps_detections():
+    gt = np.array([
+        [40, 30, 160, 30],
+        [60, 60, 60, 170],
+        [120, 80, 250, 160],
+        [200, 40, 280, 20],
+    ], np.float32)
+    img = render_lines(gt)
+    cfg = ld.LineDetectConfig(n_features=2)
+    det = ld.detect_lines_np(jnp.asarray(img), cfg)
+    assert 1 <= len(det) <= 2
+    # the survivors are the longest structures (the two ~130px segments)
+    lens = np.linalg.norm(det[:, 2:] - det[:, :2], axis=1)
+    assert lens.min() > 80.0
+
+
+def test_lsd_refine_none_still_detects():
+    gt = np.array([[40, 30, 160, 30], [60, 60, 60, 170]], np.float32)
+    img = render_lines(gt)
+    cfg = ld.LineDetectConfig(refine_steps=0)
+    det = ld.detect_lines_np(jnp.asarray(img), cfg)
+    assert len(det) >= 2
