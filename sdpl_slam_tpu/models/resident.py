@@ -84,9 +84,21 @@ class ResidentState(NamedTuple):
     meta_motion: jnp.ndarray   # (MAXO,4,4)
     meta_n: jnp.ndarray        # scalar i32
     max_id: jnp.ndarray        # scalar i32
-    # image mirrors for the next frame's mask recovery
+    # image mirrors for the next frame's mask recovery (dense mode; the
+    # sampled/chained mode holds (1,1) dummies -- recovery runs on host)
     last_mask: jnp.ndarray     # (H,W) i32
     last_flow: jnp.ndarray     # (H,W,2) f32
+    # provenance of each row w.r.t. the PREVIOUS state (models/chained.py
+    # gathers host-pushed samples by these): asso >= 0 = kept from that
+    # previous-state row; else cand >= 0 = born from that candidate row
+    s_asso: jnp.ndarray        # (NS,) i32
+    s_cand: jnp.ndarray        # (NS,) i32
+    l_asso: jnp.ndarray        # (NLS,) i32
+    l_cand: jnp.ndarray        # (NLS,) i32
+    o_asso: jnp.ndarray        # (NO,) i32
+    o_cand: jnp.ndarray        # (NO,) i32
+    ol_asso: jnp.ndarray       # (NLO,) i32
+    ol_cand: jnp.ndarray       # (NLO,) i32
 
 
 def _ifloor(x):
@@ -406,19 +418,78 @@ def _masked_mode(vals, valid):
     return s[best], jnp.any(valid)
 
 
-def build_resident_step(cfg, K: Intrinsics, caps: dict):
-    """Build the jitted device-resident frame step.
+class StageInputs(NamedTuple):
+    """Plane-derived inputs to the core stage.  The dense step computes
+    these from the full depth/flow/mask planes on device; the chained
+    sampled step (models/chained.py) unpacks them from a host-pushed
+    sample bundle (samples taken at the host's shadow positions)."""
 
-    ``caps``: dict with NS, NLS, NO, NLO, P, L, MAXO, GCAP.  The returned
-    function has signature
+    stat_tmp: tuple      # (uv, d, f, c, v)              candidate selections
+    line_tmp: tuple      # (uv4, d2, f4, c4, v)
+    obj_tmp: tuple       # (uv, d, f, c, sem, v)
+    oline_tmp: tuple     # (uv4, d2, f4, c4, sem, v)
+    inh: tuple           # inherit outputs (s_uv, s_d, l_uv, l_d, o_uv,
+    #                      o_d, o_sem, ol_uv, ol_d, ol_sem)
+    line_ok0: jnp.ndarray
 
-        step(state, depth_raw, flow, mask_in, cand_uv, cand_valid,
-             lcand_uv4, lcand_valid, gt_sem_prev, gt_sem_cur, key)
-        -> (new_state, out_dict)
 
-    where gt_sem_* are fixed-size (16,) i32 arrays of semantic labels with
-    an available GT object pose in the previous/current frame (-1 pads).
-    """
+class DenseFilts:
+    """Renewal plane-filter accessor over full device planes (the
+    resident mode).  The chained mode substitutes SampledFilts whose
+    methods return host-pushed per-row filter results instead."""
+
+    def __init__(self, depth, flow, mask, th_depth_obj):
+        self.depth, self.flow, self.mask = depth, flow, mask
+        self.th = th_depth_obj
+
+    # state-row filters, evaluated at the (solve-updated) positions
+    def stat_state(self, uv):
+        return _filt_point(uv, self.depth, self.flow, self.mask)
+
+    def line_state(self, uv4):
+        return _filt_line(uv4, self.depth, self.flow, self.mask)
+
+    def obj_state(self, uv):
+        return _obj_filt(uv, self.depth, self.flow, self.mask, self.th)
+
+    # candidate filters (fixed candidate positions)
+    def stat_cand(self, uv):
+        return _filt_point(uv, self.depth, self.flow, self.mask)
+
+    def line_cand(self, uv4):
+        return _filt_line(uv4, self.depth, self.flow, self.mask)
+
+    def obj_cand(self, uv):
+        return _obj_filt(uv, self.depth, self.flow, self.mask, self.th)
+
+    def oline_cand_ok(self, uv4):
+        return _filt_line(uv4, self.depth, self.flow, self.mask)[0]
+
+    # flow at merged object-line rows (invalid rows are zeroed to (0,0)
+    # so the lookup lands on flow[0,0] -- preserved exactly)
+    def flow4(self, uv4):
+        h, w = self.mask.shape
+        f_s = self.flow[
+            jnp.clip(uv4[:, 1].astype(jnp.int32), 0, h - 1),
+            jnp.clip(uv4[:, 0].astype(jnp.int32), 0, w - 1),
+        ]
+        f_e = self.flow[
+            jnp.clip(uv4[:, 3].astype(jnp.int32), 0, h - 1),
+            jnp.clip(uv4[:, 2].astype(jnp.int32), 0, w - 1),
+        ]
+        return jnp.concatenate([f_s, f_e], axis=1)
+
+    def flow4_final(self, uv4, carried_f4, valid):
+        # dense: re-look-up at the merged positions (bit-exact with the
+        # pre-refactor behavior, including the flow[0,0] value on zeroed
+        # invalid rows); carried values are ignored
+        return self.flow4(uv4)
+
+
+def build_core_stage(cfg, K: Intrinsics, caps: dict):
+    """The plane-free core of the per-frame step: grouping, solves,
+    commit, renewal.  Shared verbatim between the dense resident step and
+    the sampled chained step."""
     NS, NLS, NO, NLO = caps["NS"], caps["NLS"], caps["NO"], caps["NLO"]
     P, L, MAXO, GCAP = caps["P"], caps["L"], caps["MAXO"], caps["GCAP"]
     KITTI = 2
@@ -506,34 +577,15 @@ def build_resident_step(cfg, K: Intrinsics, caps: dict):
         small = v * (sfn < cfg.sf_mg_thres).astype(jnp.float32)
         return jnp.sum(small, axis=-1) / n
 
-    def step(state: ResidentState, depth_raw, flow, mask_in,
-             cand_uv, cand_valid, lcand_uv4, lcand_valid,
-             gt_sem_prev, gt_sem_cur, key):
-        h, w = mask_in.shape
-        depth = fr.preprocess_depth(
-            depth_raw, cfg.choose_data, cfg.depth_map_factor, cfg.bf
-        )
-        mask = update_mask_dev(mask_in.astype(jnp.int32), state, MAXO)
-
-        # ---- candidate selections (Frame ctor) ----
-        obj_tmp = fr.select_object_points(
-            depth, flow, mask, cfg.th_depth_obj, NO
-        )
-        stat_tmp = fr.select_static_points(
-            cand_uv, cand_valid, depth, flow, mask, cfg.th_depth_bg, NS
-        )
-        line_tmp = fr.select_static_lines(
-            lcand_uv4, lcand_valid, depth, flow, mask, cfg.th_depth_bg, NLS
-        )
-        oline_tmp = fr.select_object_lines(
-            lcand_uv4, lcand_valid, depth, flow, mask, cfg.th_depth_obj, NLO
-        )
-
-        # ---- inherit (Tracking.cc:269-473) ----
+    def core(state: ResidentState, si: StageInputs, filts, hw,
+             gt_sem_prev, gt_sem_cur, key, last_mask, last_flow):
+        h, w = hw
+        stat_tmp, line_tmp = si.stat_tmp, si.line_tmp
+        obj_tmp, oline_tmp = si.obj_tmp, si.oline_tmp
         (s_uv, s_d, l_uv, l_d, o_uv, o_d, o_sem, ol_uv, ol_d,
-         ol_sem) = inherit_dev(state, depth, mask, cfg.th_depth_obj)
+         ol_sem) = si.inh
         last_s_valid = state.s_valid & (state.s_d > 0) & (s_d > 0)
-        line_ok0 = line_track_filter_dev(l_uv, state.l_valid, depth, mask)
+        line_ok0 = si.line_ok0 & state.l_valid
         l_use = state.l_valid & (state.l_d.min(axis=-1) > 0) & line_ok0
         T_lw = state.pose
 
@@ -755,8 +807,8 @@ def build_resident_step(cfg, K: Intrinsics, caps: dict):
         oline_ok_flags = jnp.zeros(NLO, jnp.bool_).at[lidx].set(upd_ln)
 
         # ---- renewal (Tracking.cc:3959-4730) ----
-        new_state, core = _renew_dev(
-            cfg, K, caps, depth, flow, mask,
+        new_state, core_out = _renew_core(
+            cfg, K, caps, si, filts, hw,
             pose, velocity,
             stat_tmp, line_tmp, obj_tmp, oline_tmp,
             s_uv_upd, s_d, cam.point_inlier,
@@ -764,11 +816,11 @@ def build_resident_step(cfg, K: Intrinsics, caps: dict):
             o_uv_new, o_d, o_sem, obj_label, obj_ok_flags,
             ol_uv_new, ol_d, ol_sem, oline_label, oline_ok_flags,
             meta_sem, meta_label, meta_stat, meta_motion, meta_n,
-            max_id_new, mask, flow,
+            max_id_new, last_mask, last_flow,
         )
 
         out = dict(
-            pose=pose, velocity=velocity, **core,
+            pose=pose, velocity=velocity, **core_out,
             lane_label=jnp.where(m_ok, assigned[m_idx], -1),
             lane_sem=meta_sem,
             lane_stat=meta_stat,
@@ -786,6 +838,71 @@ def build_resident_step(cfg, K: Intrinsics, caps: dict):
              for name, _, _ in spec]
         )
         return new_state, buf
+
+    return core
+
+
+def dense_stage_inputs(cfg, caps, state, depth, flow, mask):
+    """Compute StageInputs from full device planes (the resident mode).
+    Candidate selections are appended by the caller (they depend on the
+    detector outputs)."""
+    inh = inherit_dev(state, depth, mask, cfg.th_depth_obj)
+    line_ok0 = line_track_filter_dev(
+        inh[2], state.l_valid, depth, mask
+    )
+    return inh, line_ok0
+
+
+def build_resident_step(cfg, K: Intrinsics, caps: dict):
+    """Build the jitted device-resident frame step (dense planes).
+
+    ``caps``: dict with NS, NLS, NO, NLO, P, L, MAXO, GCAP.  The returned
+    function has signature
+
+        step(state, depth_raw, flow, mask_in, cand_uv, cand_valid,
+             lcand_uv4, lcand_valid, gt_sem_prev, gt_sem_cur, key)
+        -> (new_state, out_buf)
+
+    where gt_sem_* are fixed-size (16,) i32 arrays of semantic labels with
+    an available GT object pose in the previous/current frame (-1 pads).
+    """
+    NS, NLS, NO, NLO = caps["NS"], caps["NLS"], caps["NO"], caps["NLO"]
+    MAXO = caps["MAXO"]
+    core = build_core_stage(cfg, K, caps)
+
+    def step(state: ResidentState, depth_raw, flow, mask_in,
+             cand_uv, cand_valid, lcand_uv4, lcand_valid,
+             gt_sem_prev, gt_sem_cur, key):
+        h, w = mask_in.shape
+        depth = fr.preprocess_depth(
+            depth_raw, cfg.choose_data, cfg.depth_map_factor, cfg.bf
+        )
+        mask = update_mask_dev(mask_in.astype(jnp.int32), state, MAXO)
+
+        # ---- candidate selections (Frame ctor) ----
+        obj_tmp = fr.select_object_points(
+            depth, flow, mask, cfg.th_depth_obj, NO
+        )
+        stat_tmp = fr.select_static_points(
+            cand_uv, cand_valid, depth, flow, mask, cfg.th_depth_bg, NS
+        )
+        line_tmp = fr.select_static_lines(
+            lcand_uv4, lcand_valid, depth, flow, mask, cfg.th_depth_bg, NLS
+        )
+        oline_tmp = fr.select_object_lines(
+            lcand_uv4, lcand_valid, depth, flow, mask, cfg.th_depth_obj, NLO
+        )
+
+        # ---- inherit (Tracking.cc:269-473) ----
+        inh, line_ok0 = dense_stage_inputs(cfg, caps, state, depth, flow,
+                                           mask)
+        si = StageInputs(
+            stat_tmp=stat_tmp, line_tmp=line_tmp, obj_tmp=obj_tmp,
+            oline_tmp=oline_tmp, inh=inh, line_ok0=line_ok0,
+        )
+        filts = DenseFilts(depth, flow, mask, cfg.th_depth_obj)
+        return core(state, si, filts, (h, w), gt_sem_prev, gt_sem_cur,
+                    key, mask, flow)
 
     return step
 
@@ -874,23 +991,25 @@ def _bdims(mask, ndim):
     return mask.reshape(mask.shape + (1,) * (ndim - 1))
 
 
-def _renew_dev(cfg, K, caps, depth, flow, mask,
-               pose, velocity,
-               stat_tmp, line_tmp, obj_tmp, oline_tmp,
-               s_uv, s_d, stat_ok,
-               l_uv, l_d, line_ok,
-               o_uv, o_d, o_sem, obj_label, obj_ok,
-               ol_uv, ol_d, ol_sem, oline_label, oline_ok,
-               meta_sem, meta_label, meta_stat, meta_motion, meta_n,
-               max_id, last_mask, last_flow):
+def _renew_core(cfg, K, caps, si, filts, hw,
+                pose, velocity,
+                stat_tmp, line_tmp, obj_tmp, oline_tmp,
+                s_uv, s_d, stat_ok,
+                l_uv, l_d, line_ok,
+                o_uv, o_d, o_sem, obj_label, obj_ok,
+                ol_uv, ol_d, ol_sem, oline_label, oline_ok,
+                meta_sem, meta_label, meta_stat, meta_motion, meta_n,
+                max_id, last_mask, last_flow):
     """Device port of Tracking._renew_frame_info (Tracking.cc:3959-4730).
-    Returns (ResidentState, core-output dict for the host map mirror)."""
+    Returns (ResidentState, core-output dict for the host map mirror).
+    All plane lookups go through ``filts`` (dense planes or host-pushed
+    samples)."""
     NS, NLS, NO, NLO = caps["NS"], caps["NLS"], caps["NO"], caps["NLO"]
     P, L, MAXO = caps["P"], caps["L"], caps["MAXO"]
-    h, w = mask.shape
+    h, w = hw
 
     # ---- static points ----
-    keep_ok, kd, kf, kc = _filt_point(s_uv, depth, flow, mask)
+    keep_ok, kd, kf, kc = filts.stat_state(s_uv)
     keep = stat_ok & keep_ok
     kept_idx, kept_v = _first_k(keep, NS)
     nk = jnp.sum(keep.astype(jnp.int32))
@@ -900,9 +1019,10 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
     k_f = kf[kept_idx] * kept_v[:, None]
     k_c = kc[kept_idx] * kept_v[:, None]
     k_asso = jnp.where(kept_v, kept_idx, -1)
+    k_cnd = jnp.full(NS, -1, jnp.int32)
 
     cs_uv, cs_d, cs_f, cs_c, cs_v = stat_tmp
-    cand_ok, cd, cf, cc = _filt_point(cs_uv, depth, flow, mask)
+    cand_ok, cd, cf, cc = filts.stat_cand(cs_uv)
     cand_ok = cand_ok & cs_v
     occ = _scatter_occupancy(h, w, k_uv, kept_v)
     cand_ok = cand_ok & ~(
@@ -916,18 +1036,21 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
     t_f = cf[t_idx] * t_v[:, None]
     t_c = cc[t_idx] * t_v[:, None]
     t_asso = jnp.full(NS, -1, jnp.int32)
-    (new_uv, new_d, new_f, new_c, new_asso), stat_valid = _merge_keep_topup(
-        (k_uv, k_d, k_f, k_c, k_asso), nk,
-        (t_uv, t_d, t_f, t_c, t_asso), nt, NS,
+    t_cnd = jnp.where(t_v, t_idx, -1)
+    ((new_uv, new_d, new_f, new_c, new_asso, new_cnd),
+     stat_valid) = _merge_keep_topup(
+        (k_uv, k_d, k_f, k_c, k_asso, k_cnd), nk,
+        (t_uv, t_d, t_f, t_c, t_asso, t_cnd), nt, NS,
     )
     new_uv = new_uv * stat_valid[:, None]
     new_d = new_d * stat_valid
     new_f = new_f * stat_valid[:, None]
     new_c = new_c * stat_valid[:, None]
     new_asso = jnp.where(stat_valid, new_asso, -1)
+    new_cnd = jnp.where(stat_valid, new_cnd, -1)
 
     # ---- static lines ----
-    lk_ok, lkd, lkf, lkc = _filt_line(l_uv, depth, flow, mask)
+    lk_ok, lkd, lkf, lkc = filts.line_state(l_uv)
     lkeep = line_ok & lk_ok
     lkept_idx, lkept_v = _first_k(lkeep, NLS)
     nlk = jnp.minimum(jnp.sum(lkeep.astype(jnp.int32)), NLS)
@@ -936,9 +1059,10 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
     kl_f = lkf[lkept_idx] * lkept_v[:, None]
     kl_c = lkc[lkept_idx] * lkept_v[:, None]
     kl_asso = jnp.where(lkept_v, lkept_idx, -1)
+    kl_cnd = jnp.full(NLS, -1, jnp.int32)
 
     cl_uv, cl_d, cl_f, cl_c, cl_v = line_tmp
-    cok, cld, clf, clc = _filt_line(cl_uv, depth, flow, mask)
+    cok, cld, clf, clc = filts.line_cand(cl_uv)
     cok = cok & cl_v
     cok = cok & ~((nlk > 0) & _line_dup(cl_uv, kl_uv, lkept_v))
     tl_idx, tl_v = _first_k(cok, NLS)
@@ -948,10 +1072,12 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
     tl_f = clf[tl_idx] * tl_v[:, None]
     tl_c = clc[tl_idx] * tl_v[:, None]
     tl_asso = jnp.full(NLS, -1, jnp.int32)
-    (new_l, new_ld, new_lf, new_lc, new_lasso), line_valid = (
+    tl_cnd = jnp.where(tl_v, tl_idx, -1)
+    ((new_l, new_ld, new_lf, new_lc, new_lasso, new_lcnd),
+     line_valid) = (
         _merge_keep_topup(
-            (kl_uv, kl_d, kl_f, kl_c, kl_asso), nlk,
-            (tl_uv, tl_d, tl_f, tl_c, tl_asso), ntl, NLS,
+            (kl_uv, kl_d, kl_f, kl_c, kl_asso, kl_cnd), nlk,
+            (tl_uv, tl_d, tl_f, tl_c, tl_asso, tl_cnd), ntl, NLS,
         )
     )
     new_l = new_l * line_valid[:, None]
@@ -959,18 +1085,15 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
     new_lf = new_lf * line_valid[:, None]
     new_lc = new_lc * line_valid[:, None]
     new_lasso = jnp.where(line_valid, new_lasso, -1)
+    new_lcnd = jnp.where(line_valid, new_lcnd, -1)
 
     # ---- object points: keep + per-object top-up + new labels ----
     co_uv, co_d, co_f, co_c, co_s, co_v = obj_tmp
-    ok_o, m_o, d_o, f_o, c_o = _obj_filt(
-        o_uv, depth, flow, mask, cfg.th_depth_obj
-    )
+    ok_o, m_o, d_o, f_o, c_o = filts.obj_state(o_uv)
     tracked, tr_ok = _sorted_unique(
         obj_label, obj_label > 0, MAXO
     )
-    cok_all, cm, cdd, cff, ccc = _obj_filt(
-        co_uv, depth, flow, mask, cfg.th_depth_obj
-    )
+    cok_all, cm, cdd, cff, ccc = filts.obj_cand(co_uv)
     cok_all = cok_all & co_v
 
     def lane(labK, okK):
@@ -986,6 +1109,7 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
             c_o[idx] * iv[:, None],
             jnp.where(iv, m_o[idx], 0),
             jnp.where(iv, idx, -1),
+            jnp.full(P, -1, jnp.int32),
         )
         occK = _scatter_occupancy(h, w, o_uv[idx], iv)
         topm = (
@@ -1001,12 +1125,15 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
             ccc[tidx] * tv[:, None],
             jnp.where(tv, cm[tidx], 0),
             jnp.full(P, -1, jnp.int32),
+            jnp.where(tv, tidx, -1),
         )
-        (uv, d, f, c, sem, asso), lv = _merge_keep_topup(kv, n, tvv, tn, P)
+        (uv, d, f, c, sem, asso, cnd), lv = _merge_keep_topup(
+            kv, n, tvv, tn, P
+        )
         lv = lv & okK
-        return (uv, d, f, c, sem, asso, lv, sem_now)
+        return (uv, d, f, c, sem, asso, cnd, lv, sem_now)
 
-    (L_uv, L_d, L_f, L_c, L_sem, L_asso, L_v, L_semnow) = jax.vmap(
+    (L_uv, L_d, L_f, L_c, L_sem, L_asso, L_cnd, L_v, L_semnow) = jax.vmap(
         lane
     )(tracked, tr_ok)
 
@@ -1033,7 +1160,7 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
     # global compaction: tracked lanes (lane-major) then new labels
     flat_v = L_v.reshape(-1)
     flat = [a.reshape((MAXO * P,) + a.shape[2:])
-            for a in (L_uv, L_d, L_f, L_c, L_sem, L_asso)]
+            for a in (L_uv, L_d, L_f, L_c, L_sem, L_asso, L_cnd)]
     lane_lab = jnp.broadcast_to(tracked[:, None], (MAXO, P)).reshape(-1)
     g_idx, g_v = _first_k(flat_v, NO)
     tracked_total = jnp.sum(flat_v.astype(jnp.int32))
@@ -1044,14 +1171,17 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
         flat[3][g_idx] * g_v[:, None],
         jnp.where(g_v, flat[4][g_idx], 0),
         jnp.where(g_v, flat[5][g_idx], -1),
+        jnp.where(g_v, flat[6][g_idx], -1),
         jnp.where(g_v, lane_lab[g_idx], -2),
     )
     N_vals = (
         N_uv, N_d, N_f, N_c, N_sem,
         jnp.full(NO, -1, jnp.int32),
+        jnp.where(N_v, norder.astype(jnp.int32), -1),
         jnp.full(NO, -2, jnp.int32),
     )
-    (no_uv, no_d, no_f, no_c, no_sem, no_asso, no_label), obj_valid = (
+    ((no_uv, no_d, no_f, no_c, no_sem, no_asso, no_cnd, no_label),
+     obj_valid) = (
         _merge_keep_topup(T_vals, tracked_total, N_vals, n_new, NO)
     )
     no_uv = no_uv * obj_valid[:, None]
@@ -1060,11 +1190,15 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
     no_c = no_c * obj_valid[:, None]
     no_sem = jnp.where(obj_valid, no_sem, 0)
     no_asso = jnp.where(obj_valid, no_asso, -1)
+    no_cnd = jnp.where(obj_valid, no_cnd, -1)
     no_label = jnp.where(obj_valid, no_label, -2)
 
     # ---- object lines: keep + per-object top-up + new labels ----
     col_uv, col_d, col_f, col_c, col_s, col_v = oline_tmp
-    col_ok_all, _, _, _ = _filt_line(col_uv, depth, flow, mask)
+    col_ok_all = filts.oline_cand_ok(col_uv)
+    # flow at the kept object-line positions, carried through the merge
+    # so the sampled mode never needs a post-merge plane lookup
+    ol_f_now = filts.flow4(ol_uv)
 
     def lane_l(labK, okK, sem_nowK):
         keepm = (oline_label == labK) & oline_ok & okK
@@ -1075,6 +1209,8 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
             jnp.where(iv[:, None], ol_d[idx], 0.0),
             jnp.where(iv, ol_sem[idx], 0),
             jnp.where(iv, idx, -1),
+            jnp.full(L, -1, jnp.int32),
+            ol_f_now[idx] * iv[:, None],
         )
         topm = (
             col_v & col_ok_all & (col_s == sem_nowK) & (sem_nowK != 0)
@@ -1087,12 +1223,16 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
             jnp.where(tv[:, None], col_d[tidx], 0.0),
             jnp.where(tv, col_s[tidx], 0),
             jnp.full(L, -1, jnp.int32),
+            jnp.where(tv, tidx, -1),
+            col_f[tidx] * tv[:, None],
         )
-        (uv, d, sem, asso), lv = _merge_keep_topup(kv, n, tvv, tn, L)
+        (uv, d, sem, asso, cnd, f4), lv = _merge_keep_topup(
+            kv, n, tvv, tn, L
+        )
         lv = lv & okK
-        return uv, d, sem, asso, lv
+        return uv, d, sem, asso, cnd, f4, lv
 
-    OL_uv, OL_d, OL_sem, OL_asso, OL_v = jax.vmap(lane_l)(
+    OL_uv, OL_d, OL_sem, OL_asso, OL_cnd, OL_f, OL_v = jax.vmap(lane_l)(
         tracked, tr_ok, L_semnow
     )
     # new-label lines: (sem, idx)-sorted, no per-label cap (host quirk)
@@ -1103,11 +1243,14 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
     n_nl = jnp.sum(nl_sel.astype(jnp.int32))
     NL_vals = (
         col_uv[nlorder], col_d[nlorder], col_s[nlorder],
-        jnp.full(NLO, -1, jnp.int32), jnp.full(NLO, -2, jnp.int32),
+        jnp.full(NLO, -1, jnp.int32),
+        jnp.where(jnp.arange(NLO) < n_nl, nlorder.astype(jnp.int32), -1),
+        col_f[nlorder],
+        jnp.full(NLO, -2, jnp.int32),
     )
     flat_lv = OL_v.reshape(-1)
     flat_l = [a.reshape((MAXO * L,) + a.shape[2:])
-              for a in (OL_uv, OL_d, OL_sem, OL_asso)]
+              for a in (OL_uv, OL_d, OL_sem, OL_asso, OL_cnd, OL_f)]
     lane_lab_l = jnp.broadcast_to(tracked[:, None], (MAXO, L)).reshape(-1)
     gl_idx, gl_v = _first_k(flat_lv, NLO)
     tracked_l_total = jnp.sum(flat_lv.astype(jnp.int32))
@@ -1116,26 +1259,24 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
         jnp.where(gl_v[:, None], flat_l[1][gl_idx], 0.0),
         jnp.where(gl_v, flat_l[2][gl_idx], 0),
         jnp.where(gl_v, flat_l[3][gl_idx], -1),
+        jnp.where(gl_v, flat_l[4][gl_idx], -1),
+        flat_l[5][gl_idx] * gl_v[:, None],
         jnp.where(gl_v, lane_lab_l[gl_idx], -2),
     )
-    (nol_uv, nol_d, nol_sem, nol_asso, nol_label), oline_valid = (
+    ((nol_uv, nol_d, nol_sem, nol_asso, nol_cnd, nol_fcar, nol_label),
+     oline_valid) = (
         _merge_keep_topup(TL_vals, tracked_l_total, NL_vals, n_nl, NLO)
     )
     nol_uv = nol_uv * oline_valid[:, None]
     nol_d = nol_d * oline_valid[:, None]
     nol_sem = jnp.where(oline_valid, nol_sem, 0)
     nol_asso = jnp.where(oline_valid, nol_asso, -1)
+    nol_cnd = jnp.where(oline_valid, nol_cnd, -1)
     nol_label = jnp.where(oline_valid, nol_label, -2)
-    # recompute flows/corres at the new line positions (host tail)
-    lf_s = flow[
-        jnp.clip(nol_uv[:, 1].astype(jnp.int32), 0, h - 1),
-        jnp.clip(nol_uv[:, 0].astype(jnp.int32), 0, w - 1),
-    ]
-    lf_e = flow[
-        jnp.clip(nol_uv[:, 3].astype(jnp.int32), 0, h - 1),
-        jnp.clip(nol_uv[:, 2].astype(jnp.int32), 0, w - 1),
-    ]
-    nol_f = jnp.concatenate([lf_s, lf_e], axis=1)
+    # flows/corres at the new line positions: dense mode re-looks-up at
+    # the merged (zeroed-if-invalid) positions, exactly as before; the
+    # sampled mode substitutes the carried values
+    nol_f = filts.flow4_final(nol_uv, nol_fcar, oline_valid)
     nol_c = nol_uv + nol_f
 
     # ---- 3D in world ----
@@ -1155,6 +1296,10 @@ def _renew_dev(cfg, K, caps, depth, flow, mask,
         meta_sem=meta_sem, meta_label=meta_label, meta_stat=meta_stat,
         meta_motion=meta_motion, meta_n=meta_n, max_id=max_id,
         last_mask=last_mask, last_flow=last_flow,
+        s_asso=new_asso, s_cand=new_cnd,
+        l_asso=new_lasso, l_cand=new_lcnd,
+        o_asso=no_asso, o_cand=no_cnd,
+        ol_asso=nol_asso, ol_cand=nol_cnd,
     )
     core = dict(
         stat_uv=new_uv, stat_depth=new_d, stat_3d=stat_3d,
@@ -1228,6 +1373,15 @@ def state_from_host(last: dict, last_meta: dict, max_id: int,
         max_id=jnp.asarray(max_id, jnp.int32),
         last_mask=jnp.asarray(last_mask, jnp.int32),
         last_flow=jnp.asarray(last_flow, jnp.float32),
+        # identity provenance: every row is its own ancestor at entry
+        s_asso=jnp.arange(len(last["stat_uv"]), dtype=jnp.int32),
+        s_cand=jnp.full(len(last["stat_uv"]), -1, jnp.int32),
+        l_asso=jnp.arange(len(last["line_uv"]), dtype=jnp.int32),
+        l_cand=jnp.full(len(last["line_uv"]), -1, jnp.int32),
+        o_asso=jnp.arange(len(last["obj_uv"]), dtype=jnp.int32),
+        o_cand=jnp.full(len(last["obj_uv"]), -1, jnp.int32),
+        ol_asso=jnp.arange(len(last["oline_uv"]), dtype=jnp.int32),
+        ol_cand=jnp.full(len(last["oline_uv"]), -1, jnp.int32),
     )
 
 
