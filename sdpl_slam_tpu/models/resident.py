@@ -911,20 +911,25 @@ def out_spec(caps):
     """(name, shape, kind) rows of the packed resident-step output."""
     NS, NLS, NO, NLO = caps["NS"], caps["NLS"], caps["NO"], caps["NLO"]
     MAXO = caps["MAXO"]
+    # NOTE: the world-3D arrays are NOT in the buffer -- they are exactly
+    # world_points/world_lines(pose, uv, depth), recomputed on host in
+    # _apply_out (30k floats of d2h per frame saved)
     return [
         ("pose", (4, 4), "f"), ("velocity", (4, 4), "f"),
         ("stat_uv", (NS, 2), "f"), ("stat_depth", (NS,), "f"),
-        ("stat_3d", (NS, 3), "f"), ("stat_valid", (NS,), "bool"),
+        ("stat_valid", (NS,), "bool"),
         ("stat_asso", (NS,), "int"),
         ("line_uv", (NLS, 4), "f"), ("line_depth", (NLS, 2), "f"),
-        ("line_3d", (NLS, 6), "f"), ("line_valid", (NLS,), "bool"),
+        ("line_valid", (NLS,), "bool"),
         ("line_asso", (NLS,), "int"),
         ("obj_uv", (NO, 2), "f"), ("obj_depth", (NO,), "f"),
-        ("obj_3d", (NO, 3), "f"), ("obj_valid", (NO,), "bool"),
+        ("obj_valid", (NO,), "bool"),
         ("obj_asso", (NO,), "int"), ("obj_label", (NO,), "int"),
+        ("obj_sem", (NO,), "int"),
         ("oline_uv", (NLO, 4), "f"), ("oline_depth", (NLO, 2), "f"),
-        ("oline_3d", (NLO, 6), "f"), ("oline_valid", (NLO,), "bool"),
+        ("oline_valid", (NLO,), "bool"),
         ("oline_asso", (NLO,), "int"), ("oline_label", (NLO,), "int"),
+        ("oline_sem", (NLO,), "int"),
         ("lane_label", (MAXO,), "int"), ("lane_sem", (MAXO,), "int"),
         ("lane_stat", (MAXO,), "bool"), ("lane_H", (MAXO, 4, 4), "f"),
         ("lane_centre", (MAXO, 3), "f"), ("lane_valid", (MAXO,), "bool"),
@@ -1307,10 +1312,10 @@ def _renew_core(cfg, K, caps, si, filts, hw,
         line_uv=new_l, line_depth=new_ld, line_3d=line_3d,
         line_valid=line_valid, line_asso=new_lasso,
         obj_uv=no_uv, obj_depth=no_d, obj_3d=obj_3d, obj_valid=obj_valid,
-        obj_asso=no_asso, obj_label=no_label,
+        obj_asso=no_asso, obj_label=no_label, obj_sem=no_sem,
         oline_uv=nol_uv, oline_depth=nol_d, oline_3d=oline_3d,
         oline_valid=oline_valid, oline_asso=nol_asso,
-        oline_label=nol_label,
+        oline_label=nol_label, oline_sem=nol_sem,
     )
     return state, core
 
@@ -1676,6 +1681,10 @@ class ResidentDriver:
         if p["holder"]["err"] is not None:
             raise p["holder"]["err"]
         o = unpack_out(p["holder"]["np"], self.caps)
+        self._apply_out(p, o)
+        return p, o
+
+    def _apply_out(self, p, o):
         tr = self.tr
         cfg = tr.cfg
         pose_np = o["pose"]
@@ -1717,33 +1726,48 @@ class ResidentDriver:
 
         m = tr.map
         st = o
+        # world-3D arrays are intentionally NOT in the pulled buffer
+        # (out_spec NOTE): recompute them here from pose/uv/depth --
+        # identical math to frame.world_points/world_lines on device
+        stat_3d = _T._np_world_points(
+            tr.K, pose_np, st["stat_uv"], st["stat_depth"]
+        )
+        line_3d = _T._np_world_lines(
+            tr.K, pose_np, st["line_uv"], st["line_depth"]
+        )
+        obj_3d = _T._np_world_points(
+            tr.K, pose_np, st["obj_uv"], st["obj_depth"]
+        )
+        oline_3d = _T._np_world_lines(
+            tr.K, pose_np, st["oline_uv"], st["oline_depth"]
+        )
         m.stat_uv.append(st["stat_uv"])
         m.stat_depth.append(st["stat_depth"])
-        m.stat_3d.append(st["stat_3d"])
+        m.stat_3d.append(stat_3d)
         m.stat_valid.append(st["stat_valid"])
         m.stat_asso.append(st["stat_asso"])
         m.line_uv.append(st["line_uv"])
         m.line_depth.append(st["line_depth"])
-        m.line_3d.append(st["line_3d"])
+        m.line_3d.append(line_3d)
         m.line_valid.append(st["line_valid"])
         m.line_asso.append(st["line_asso"])
         m.line_plucker.append(
-            _T._np_plucker(st["line_3d"][:, :3], st["line_3d"][:, 3:])
+            _T._np_plucker(line_3d[:, :3], line_3d[:, 3:])
         )
         m.dyn_uv.append(st["obj_uv"])
         m.dyn_depth.append(st["obj_depth"])
-        m.dyn_3d.append(st["obj_3d"])
+        m.dyn_3d.append(obj_3d)
         m.dyn_valid.append(st["obj_valid"])
         m.dyn_asso.append(st["obj_asso"])
         m.dyn_label.append(st["obj_label"])
         m.dline_uv.append(st["oline_uv"])
         m.dline_depth.append(st["oline_depth"])
-        m.dline_3d.append(st["oline_3d"])
+        m.dline_3d.append(oline_3d)
         m.dline_valid.append(st["oline_valid"])
         m.dline_asso.append(st["oline_asso"])
         m.dline_label.append(st["oline_label"])
         m.dline_plucker.append(
-            _T._np_plucker(st["oline_3d"][:, :3], st["oline_3d"][:, 3:])
+            _T._np_plucker(oline_3d[:, :3], oline_3d[:, 3:])
         )
         m.camera_poses.append(np.linalg.inv(pose_np).astype(np.float32))
         m.camera_poses_rf.append(np.linalg.inv(pose_np).astype(np.float32))

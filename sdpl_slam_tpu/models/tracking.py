@@ -606,22 +606,30 @@ class Tracking:
         # pipeline runs as one jit against device state; host pushes
         # images, map rows stream back lagged.  Parity with the host path
         # is enforced by tests/test_resident.py. ---
-        if (cfg.resident_tracking and cfg.use_joint_optimization
+        if ((cfg.resident_tracking or cfg.chained_tracking)
+                and cfg.use_joint_optimization
                 and self.f_id > 0
                 and (self._res is not None or self.last is not None)):
+            from .chained import ChainedDriver
             from .resident import ResidentDriver
 
-            if ResidentDriver.eligible(cfg):
+            driver_cls = (
+                ChainedDriver if cfg.chained_tracking else ResidentDriver
+            )
+            if driver_cls.eligible(cfg):
                 gt_objs = [np.asarray(r, np.float32) for r in obj_poses_gt]
                 if self._res is None:
                     self.flush()
-                    self._res = ResidentDriver(self)
+                    self._res = driver_cls(self)
                     self._res.enter()
+                kw = {}
+                if cfg.chained_tracking:
+                    kw["next_gray"] = next_gray
                 pose = self._res.track(
                     gray, depth_raw, flow, mask, pose_gt, gt_objs, timing,
                     self.f_id, n_images, stop_frame,
                     line_detections=line_detections,
-                    point_detections=point_detections,
+                    point_detections=point_detections, **kw,
                 )
                 if self._res.state is None:   # exited (global BA at stop)
                     self._res = None

@@ -112,6 +112,17 @@ class Settings:
     # enforced by tests/test_resident.py.  Requires bJoint and zero
     # distortion; return value lags LAG frames (map is flushed on read).
     resident_tracking: bool = False
+    # chained frame loop (models/chained.py): the resident device core
+    # fed by host-SAMPLED inputs instead of dense planes -- the device
+    # carries the feature state and renewal across frames (no host
+    # round-trip on the critical path) while the host pushes only small
+    # per-frame sample bundles.  Built for the tunneled-TPU transport
+    # where dense pushes (~8 MB/frame) and per-frame result landings
+    # (~40 ms) both exceed the frame budget.  Sample positions lag the
+    # optimized-flow updates by <= 2 frames of sub-pixel drift
+    # (documented in models/chained.py); accuracy is gated by
+    # tests/test_chained.py on the synthetic oracle.
+    chained_tracking: bool = False
     min_object_points: int = 150      # Tracking.cc:2581
     min_pnp_inliers_obj: int = 50     # Tracking.cc:1387
     boundary_shrink_x: int = 25       # KITTI boundary rejection, Tracking.cc:2476
@@ -144,6 +155,13 @@ class Settings:
     ba_local_iterations: int = 100    # partial optimize(100), Optimizer.cc:2462
     ba_global_iterations: int = 300   # full optimize(300), Optimizer.cc:5337
     ba_gain_threshold: float = 1e-4   # termination, Optimizer.cc:4004
+    # fused BA: run the whole LM outer loop (linearize -> CG -> retract ->
+    # accept/reject) as ONE device program (batch_ba.run_ba_fused) instead
+    # of ~13 dispatches per iteration.  On the tunneled TPU this turns a
+    # warm 20-frame window from ~0.45 s/LM-iteration into one dispatch per
+    # window; the trade is a larger one-off compile per shape bucket.
+    # f64 windows keep the split path (x64 while_loop is CPU-bound anyway).
+    ba_fused: bool = True
     run_local_ba: bool = True         # bLocalBatch, Tracking.cc:1793
     run_global_ba: Optional[bool] = None  # None = KITTI only (Tracking.cc:1870)
 
