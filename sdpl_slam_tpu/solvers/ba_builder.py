@@ -482,14 +482,21 @@ def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
         motion_init_identity=True, prior_info=1e5, use_lines=use_lines,
     )
     dtype = _ba_dtype(cfg)
+    max_iters = cfg.ba_global_iterations if cfg else 300
+    gain = cfg.ba_gain_threshold if cfg else 1e-4
+    fused = (cfg.ba_fused if cfg else True) and dtype == jnp.float32
     with _x64_scope(dtype == jnp.float64):
         graph = _cast_graph(graph, dtype)
-        state, cost = bb.run_ba(
-            graph, w,
-            max_iters=(cfg.ba_global_iterations if cfg else 300),
-            gain_threshold=(cfg.ba_gain_threshold if cfg else 1e-4),
-            verbose=verbose,
-        )
+        if fused:
+            state, cost, _ = bb.run_ba_fused(
+                graph, w, max_iters=max_iters, gain_threshold=gain,
+            )
+            cost = float(cost)
+        else:
+            state, cost = bb.run_ba(
+                graph, w, max_iters=max_iters, gain_threshold=gain,
+                verbose=verbose,
+            )
     _write_back(map_state, state, meta, refined=True)
     return cost
 
@@ -508,14 +515,21 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
         use_lines=use_lines,
     )
     dtype = _ba_dtype(cfg)
+    max_iters = cfg.ba_local_iterations if cfg else 100
+    gain = cfg.ba_gain_threshold if cfg else 1e-4
+    fused = (cfg.ba_fused if cfg else True) and dtype == jnp.float32
     with _x64_scope(dtype == jnp.float64):
         graph = _cast_graph(graph, dtype)
-        state, cost = bb.run_ba(
-            graph, w,
-            max_iters=(cfg.ba_local_iterations if cfg else 100),
-            gain_threshold=(cfg.ba_gain_threshold if cfg else 1e-4),
-            verbose=verbose,
-        )
+        if fused:
+            state, cost, _ = bb.run_ba_fused(
+                graph, w, max_iters=max_iters, gain_threshold=gain,
+            )
+            cost = float(cost)
+        else:
+            state, cost = bb.run_ba(
+                graph, w, max_iters=max_iters, gain_threshold=gain,
+                verbose=verbose,
+            )
     _write_back(map_state, state, meta, refined=False)
     # refined trajectory starts from the locally-refined primary one
     for i in range(f0, f1):

@@ -581,6 +581,67 @@ def ba_gn_step(graph: BAGraph, state: BAState, w: BAWeights,
     return x, cost, gain_den
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "max_iters", "cg_iters", "gain_threshold"),
+)
+def run_ba_fused(graph: BAGraph, w: BAWeights, max_iters: int = 20,
+                 cg_iters: int = 40, gain_threshold: float = 1e-4):
+    """The WHOLE LM outer loop as ONE device program.
+
+    The split-unit path (``run_ba``) costs ~13 dispatches per LM
+    iteration; over the tunneled TPU link each dispatch pays fixed
+    latency, so a warm window ran at ~0.45 s/iteration while device
+    compute was a fraction of that.  Here the LM loop (linearize -> CG ->
+    retract -> accept/reject with damping adaptation, the same logic as
+    the reference's g2o OptimizationAlgorithmLevenberg +
+    SparseOptimizerTerminateAction gain test, Optimizer.cc:4004) runs
+    under ``lax.while_loop``: one dispatch per BA call regardless of
+    iteration count.  Compile cost is paid once per shape bucket.
+
+    Returns (final BAState, final cost, iterations executed)."""
+    dt = graph.cam_T0.dtype
+    state0 = BAState(
+        cam_T=graph.cam_T0, mot_T=graph.mot_T0,
+        Xs=graph.Xs0, Ls_U=graph.Ls_U0, Ls_w=graph.Ls_w0,
+        Xd=graph.Xd0, Ld_U=graph.Ld_U0, Ld_w=graph.Ld_w0,
+    )
+    cost0 = _cost_only(graph, state0, w)
+
+    def cond(c):
+        _, _, _, _, it, done = c
+        return (it < max_iters) & ~done
+
+    def body(c):
+        state, lam, nu, cost, it, done = c
+        x, _, gain_den = ba_gn_step(graph, state, w, lam,
+                                    cg_iters=cg_iters)
+        new_state = _retract(state, x)
+        new_cost = _cost_only(graph, new_state, w)
+        rho = (cost - new_cost) / jnp.maximum(gain_den, 1e-20)
+        ok = jnp.isfinite(new_cost) & (rho > 0)
+        gain = (cost - new_cost) / jnp.maximum(cost, 1e-20)
+        state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, b, a), state, new_state
+        )
+        cost = jnp.where(ok, new_cost, cost)
+        lam = jnp.where(
+            ok,
+            lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+            lam * nu,
+        )
+        nu = jnp.where(ok, 2.0, nu * 2.0)
+        done = done | (ok & (gain < gain_threshold)) | (lam > 1e12)
+        return state, lam, nu, cost, it + 1, done
+
+    carry = (
+        state0, jnp.asarray(1e-5, dt), jnp.asarray(2.0, dt), cost0,
+        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    )
+    state, lam, nu, cost, it, done = jax.lax.while_loop(cond, body, carry)
+    return state, cost, it
+
+
 def run_ba(graph: BAGraph, w: BAWeights, max_iters: int = 20,
            cg_iters: int = 40, gain_threshold: float = 1e-4,
            verbose: bool = False):

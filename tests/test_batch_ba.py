@@ -229,3 +229,29 @@ def test_full_ba_float64_escape_hatch(tracked_map):
     assert t64 <= t32 * 1.5 + 1e-6, (t32, t64)
     # and the refined poses stay f32 in the map
     assert m64.camera_poses_rf[0].dtype == np.float32
+
+
+def test_fused_lm_matches_split_path(tracked_map):
+    """run_ba_fused (one-dispatch while_loop LM) must land where the
+    split-unit python LM lands -- same linearization, CG, damping and
+    gain-termination logic."""
+    sys = tracked_map
+    import copy
+
+    from sdpl_slam_tpu.solvers import batch_ba as bb
+
+    m = copy.deepcopy(sys.map)
+    graph, _ = ba_builder.build_graph(
+        m, sys.tracker.K, 0, m.n_frames,
+        motion_init_identity=True, prior_info=1e5, use_lines=True,
+    )
+    w = ba_builder._weights_from_cfg(sys.settings)
+    s1, c1 = bb.run_ba(graph, w, max_iters=10)
+    s2, c2, it = bb.run_ba_fused(graph, w, max_iters=10)
+    assert int(it) >= 1
+    assert np.isfinite(float(c2))
+    assert abs(float(c2) - float(c1)) <= 1e-2 * max(float(c1), 1.0), (
+        float(c1), float(c2))
+    np.testing.assert_allclose(
+        np.asarray(s2.cam_T), np.asarray(s1.cam_T), atol=5e-3
+    )
