@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -62,6 +63,20 @@ class LineDetectConfig(NamedTuple):
     # 1 = EDLines-style (anchors + directed propagation along level lines;
     #     /root/reference/src/Lineextractor.cc:100-135, ED_Lib)
     mode: int = 0
+    # a-contrario validation (the NFA control of LSD/EDLines, von Gioi
+    # IPOL 2012 / NFA.cpp in the reference's ED_Lib): sample level-line
+    # orientations along a 3-px-wide strip around each candidate and
+    # require the aligned-point count to be binomially significant
+    # against p0 = ang_th/180 at the NFA threshold  NT = (w*h)^(5/2)*11.
+    # Device-friendly via the Hoeffding/KL lower bound on the binomial
+    # tail (conservative: accepts slightly fewer than the exact test).
+    # This is what kills the short noise-texture fits the tiled-PCA
+    # stage produces on textured surfaces (measured against the faithful
+    # oracle in tests/test_lsd_oracle.py).
+    nfa_gate: bool = True
+    nfa_samples: int = 24
+    nfa_ang_tol_deg: float = 22.5
+    nfa_log_eps: float = 0.0
     # keep only the N longest detections (reference lsd_nfeatures,
     # Tracking.cc:113 / LSDDetectorC sorts by response and truncates);
     # 0 = unlimited (the reference default)
@@ -466,6 +481,82 @@ def _refine_endpoints(seg, ok, edge, mag, steps: int):
     return jnp.where(ok[..., None], refined, seg)
 
 
+def _nfa_gate(uv4: jnp.ndarray, valid: jnp.ndarray,
+              gx: jnp.ndarray, gy: jnp.ndarray,
+              cfg: LineDetectConfig) -> jnp.ndarray:
+    """Vectorized a-contrario segment validation.
+
+    For each candidate segment, gather level-line angles at
+    ``nfa_samples`` positions along the segment for 3 lateral offset rows
+    (the detected center may sit +-1 px off the true edge crest) and
+    count samples whose edge direction aligns with the segment direction
+    within ``nfa_ang_tol_deg`` (and whose gradient clears the detection
+    threshold -- LSD's NOTDEF pixels count as unaligned).  LSD scores
+    the full fitted rectangle width; here every SUBSET of the 3 offset
+    rows (7 hypotheses -- a 2-px stroke has two aligned gradient crests
+    and a flat interior, a 1-px edge one crest) is scored with the EXACT
+    binomial tail  B(n, k, p0) = I_p0(k, n-k+1)  (regularized incomplete
+    beta, the same quantity LSD's nfa() computes) and the best must
+    satisfy  -log10 B - logNT - log10(7) > log_eps  (the hypothesis
+    count folded into the number-of-tests the a-contrario way).  Short
+    segments resample the same pixels; counts are rescaled by
+    min(1, length/S) so the evidence stays per-pixel."""
+    from jax.scipy.special import betainc
+
+    h, w = gx.shape
+    S = cfg.nfa_samples
+    p0 = cfg.nfa_ang_tol_deg / 180.0
+    prec = jnp.float32(np.pi * p0)
+    logNT = (2.5 * np.log10(float(h) * float(w)) + np.log10(11.0)
+             + np.log10(7.0))
+
+    s, e = uv4[:, :2], uv4[:, 2:]
+    d = e - s
+    length = jnp.linalg.norm(d, axis=-1)
+    u = d / jnp.maximum(length, 1e-6)[:, None]           # (N, 2)
+    nrm = jnp.stack([-u[:, 1], u[:, 0]], axis=-1)        # unit normal
+    t = jnp.linspace(0.0, 1.0, S, dtype=jnp.float32)     # (S,)
+    base = s[:, None, :] + t[None, :, None] * d[:, None, :]   # (N, S, 2)
+    offs = jnp.asarray([-1.0, 0.0, 1.0], jnp.float32)
+    pts = base[:, :, None, :] + offs[None, None, :, None] * nrm[:, None, None, :]
+    px = jnp.floor(pts[..., 0]).astype(jnp.int32)
+    py = jnp.floor(pts[..., 1]).astype(jnp.int32)
+    inb = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    pxc = jnp.clip(px, 0, w - 1)
+    pyc = jnp.clip(py, 0, h - 1)
+    gxs = gx[pyc, pxc]
+    gys = gy[pyc, pxc]
+    mag_ok = (gxs * gxs + gys * gys) > cfg.grad_threshold ** 2
+    # edge (level-line) direction is perpendicular to the gradient; the
+    # segment aligns when |angle(edge) - angle(seg)| mod pi <= prec,
+    # equivalently |gradient . segdir| <= |g| sin(prec)
+    gdot = gxs * u[:, None, None, 0] + gys * u[:, None, None, 1]
+    gmag = jnp.sqrt(gxs * gxs + gys * gys)
+    aligned = inb & mag_ok & (
+        jnp.abs(gdot) <= gmag * jnp.sin(prec) + 1e-6
+    )
+    scale = jnp.minimum(1.0, length / float(S))[:, None]
+    n_row = jnp.sum(inb, axis=1) * scale                 # (N, 3) per row
+    k_row = jnp.sum(aligned, axis=1) * scale             # (N, 3)
+    # 7 row subsets as 0/1 combination masks
+    combos = jnp.asarray(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1],
+         [1, 1, 0], [0, 1, 1], [1, 0, 1], [1, 1, 1]], jnp.float32
+    )                                                    # (7, 3)
+    n = n_row @ combos.T                                 # (N, 7)
+    k = k_row @ combos.T
+    q = k / jnp.maximum(n, 1.0)
+    # exact tail; betainc needs a,b > 0 -- combos with k==0 are never
+    # significant, mask them instead
+    a = jnp.maximum(k, 0.5)
+    b = jnp.maximum(n - k, 0.0) + 1.0
+    tail = jnp.clip(betainc(a, b, p0), 1e-30, 1.0)
+    sig = -jnp.log10(tail) - logNT
+    sig = jnp.where((k > 0) & (q > p0), sig, -jnp.inf)
+    best = jnp.max(sig, axis=-1)
+    return valid & (best > cfg.nfa_log_eps)
+
+
 def _detect_octave(img: jnp.ndarray, cfg: LineDetectConfig) -> Segments:
     """Single-octave detection on ``img``'s own pixel grid."""
     gx, gy = _sobel(img)
@@ -531,6 +622,8 @@ def _detect_octave(img: jnp.ndarray, cfg: LineDetectConfig) -> Segments:
     flat = seg.reshape(-1, 4)
     length = jnp.linalg.norm(flat[:, 2:] - flat[:, :2], axis=-1)
     valid = ok.reshape(-1) & (length >= 0.5 * cfg.min_length)
+    if cfg.nfa_gate:
+        valid = _nfa_gate(flat, valid, gx, gy, cfg)
     # keep the longest max_lines
     score = jnp.where(valid, length, -1.0)
     top = jax.lax.top_k(score, min(cfg.max_lines, score.shape[0]))[1]
