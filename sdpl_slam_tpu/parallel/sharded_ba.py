@@ -171,10 +171,36 @@ def sharded_ba_step(graph: bb.BAGraph, state: bb.BAState, w: bb.BAWeights,
     return step(graph, state, w, lam, cg_iters=cg_iters)
 
 
+def variable_bytes_per_device(graph: bb.BAGraph) -> int:
+    """Per-device bytes held by the VARIABLE arrays (the long-sequence
+    memory axis, SURVEY 7.3): max over addressable shards.  Replicated
+    layouts pay the full array on every chip; the partitioned layout
+    shrinks this ~linearly with mesh size."""
+    total = 0
+    for name in _VAR_FIELDS:
+        v = getattr(graph, name)
+        shards = getattr(v, "addressable_shards", None)
+        if shards:
+            per_dev = {}
+            for s in shards:
+                d = s.device.id
+                per_dev[d] = per_dev.get(d, 0) + s.data.nbytes
+            total += max(per_dev.values())
+        else:
+            total += np.asarray(v).nbytes
+    return total
+
+
 def run_sharded_ba(graph: bb.BAGraph, w: bb.BAWeights, mesh: Mesh,
-                   max_iters: int = 10, cg_iters: int = 20):
-    """LM loop over the sharded graph (full-sequence BA across chips)."""
-    graph = shard_graph(graph, mesh)
+                   max_iters: int = 10, cg_iters: int = 20,
+                   partitioned: bool = False):
+    """LM loop over the sharded graph (full-sequence BA across chips).
+    ``partitioned=True`` uses the frame-blocked layout with sharded
+    variables (memory scales down with chip count; GSPMD inserts halo
+    collectives for block-boundary ternary edges)."""
+    graph = (shard_graph_partitioned if partitioned else shard_graph)(
+        graph, mesh
+    )
     state = bb.BAState(
         cam_T=graph.cam_T0, mot_T=graph.mot_T0,
         Xs=graph.Xs0, Ls_U=graph.Ls_U0, Ls_w=graph.Ls_w0,
