@@ -29,15 +29,67 @@ from ..ops.geometry import Intrinsics
 from . import batch_ba as bb
 
 
+_RATCHET_CTX = None     # active ratchet store (dict) or None
+_RATCHET_IDX = 0        # per-build call-site counter
+
+
+class _ratchet:
+    """Monotone bucket floors across repeated graph builds.
+
+    ``build_graph`` calls ``_bucket`` in a fixed order; under this
+    context each call site keeps the max bucket it has ever produced
+    (keyed by call index in ``store``).  Successive local-BA windows of
+    a steady-state sequence then land in IDENTICAL shape buckets, so the
+    fused LM program compiled for the first window re-executes warm for
+    every later window instead of recompiling per bucket drift."""
+
+    def __init__(self, store: dict):
+        self.store = store
+
+    def __enter__(self):
+        global _RATCHET_CTX, _RATCHET_IDX
+        _RATCHET_CTX = self.store
+        _RATCHET_IDX = 0
+        return self
+
+    def __exit__(self, *exc):
+        global _RATCHET_CTX
+        _RATCHET_CTX = None
+        return False
+
+
 def _bucket(n: int, minimum: int = 8) -> int:
+    global _RATCHET_IDX
     m = max(n, minimum)
-    return 1 << (m - 1).bit_length()
+    b = 1 << (m - 1).bit_length()
+    if _RATCHET_CTX is not None:
+        k = _RATCHET_IDX
+        _RATCHET_IDX += 1
+        b = max(b, _RATCHET_CTX.get(k, 0))
+        _RATCHET_CTX[k] = b
+    return b
 
 
 def _pad(a: np.ndarray, n: int, fill=0):
     out = np.full((n,) + a.shape[1:], fill, a.dtype)
     out[: len(a)] = a
     return out
+
+
+def _plucker_to_orthonormal_np(L: np.ndarray, eps: float = 1e-12):
+    """Batched numpy mirror of geometry.plucker_to_orthonormal
+    ((N,6) -> U (N,3,3), w (N,2)) -- the per-observation jnp version
+    dominated graph-build time."""
+    L = np.asarray(L, np.float32).reshape(-1, 6)
+    n, d = L[:, :3], L[:, 3:]
+    nn = np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), eps)
+    nd = np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), eps)
+    c = np.cross(n, d)
+    nc = np.maximum(np.linalg.norm(c, axis=-1, keepdims=True), eps)
+    U = np.stack([n / nn, d / nd, c / nc], axis=-1).astype(np.float32)
+    scale = np.sqrt(nn * nn + nd * nd)
+    w = np.concatenate([nn / scale, nd / scale], axis=-1).astype(np.float32)
+    return U, w
 
 
 def _backproject_np(K: Intrinsics, uv: np.ndarray, z: np.ndarray):
@@ -115,94 +167,126 @@ def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
     g_smo_valid = np.arange(Es) < len(smo_i)
 
     # ---- static point tracks ----
+    # loops only collect INDICES; measurements / 3D inits / orthonormal
+    # conversions are batched afterwards over window-stacked map arrays
+    # (the scalar per-observation version cost ~3 s per warm window,
+    # 6x the fused solve itself)
     sta_tracks = tk.build_tracklets(m.stat_asso[f0:f1])
-    Xs0, sp_cam, sp_pt, sp_meas, sp_slot = [], [], [], [], []
+    stat_valid_w = np.stack(m.stat_valid[f0:f1])
+    stat_uv_w = np.stack(m.stat_uv[f0:f1])
+    stat_d_w = np.stack(m.stat_depth[f0:f1])
+    stat_3d_w = np.stack(m.stat_3d[f0:f1])
+    sp_cam, sp_pt, sp_slot = [], [], []
+    xs_fi, xs_j = [], []
     for tr in sta_tracks:
         if len(tr) < min_track_len:
             continue
-        pid = len(Xs0)
+        pid = len(xs_fi)
         first = True
         for (fi, j) in tr:
-            f_abs = f0 + fi
-            if not m.stat_valid[f_abs][j]:
+            if not stat_valid_w[fi, j]:
                 continue
             if first:
-                Xs0.append(m.stat_3d[f_abs][j])
+                xs_fi.append(fi)
+                xs_j.append(j)
                 first = False
             sp_cam.append(fi)
             sp_pt.append(pid)
             sp_slot.append(j)
-            sp_meas.append(
-                _backproject_np(
-                    K,
-                    m.stat_uv[f_abs][j],
-                    m.stat_depth[f_abs][j],
-                )
-            )
         if first:
-            Xs0.append(np.zeros(3, dt))
+            xs_fi.append(-1)
+            xs_j.append(0)
+    spc = np.asarray(sp_cam or [0], np.int32)
+    spj = np.asarray(sp_slot or [0], np.int32)
+    sp_meas = _backproject_np(K, stat_uv_w[spc, spj], stat_d_w[spc, spj])
+    if not sp_cam:
+        sp_meas = sp_meas[:0]
+    xf = np.asarray(xs_fi or [-1], np.int32)
+    xj = np.asarray(xs_j or [0], np.int32)
+    Xs0 = np.where(
+        (xf >= 0)[:, None], stat_3d_w[np.maximum(xf, 0), xj], 0.0
+    ).astype(dt)
+    if not xs_fi:
+        Xs0 = Xs0[:0]
     Ps = _bucket(len(Xs0))
     Esp = _bucket(len(sp_cam))
-    g_Xs0 = _pad(np.asarray(Xs0 or [np.zeros(3)], dt).reshape(-1, 3), Ps)
+    g_Xs0 = _pad(
+        Xs0 if len(Xs0) else np.zeros((1, 3), dt), Ps
+    )
     g_sp_cam = _pad(np.asarray(sp_cam or [0], np.int32), Esp)
     g_sp_pt = _pad(np.asarray(sp_pt or [0], np.int32), Esp)
-    g_sp_meas = _pad(np.asarray(sp_meas or [np.zeros(3)], dt).reshape(-1, 3), Esp)
+    g_sp_meas = _pad(
+        sp_meas.astype(dt) if len(sp_meas) else np.zeros((1, 3), dt), Esp
+    )
     g_sp_valid = np.arange(Esp) < len(sp_cam)
     g_Xs_valid = np.arange(Ps) < len(Xs0)
 
     # ---- static line tracks ----
-    Ls_U0, Ls_w0, sl_cam, sl_line, sl_meas, sl_slot = [], [], [], [], [], []
+    sl_cam, sl_line, sl_slot = [], [], []
+    ls_fi, ls_j = [], []
+    n_ls = 0
     if use_lines:
         line_tracks = tk.build_tracklets(m.line_asso[f0:f1])
+        line_valid_w = np.stack(m.line_valid[f0:f1])
+        line_uv_w = np.stack(m.line_uv[f0:f1])
+        line_d_w = np.stack(m.line_depth[f0:f1])
+        line_plk_w = np.stack(m.line_plucker[f0:f1])
         for tr in line_tracks:
             if len(tr) < min_track_len:
                 continue
-            lid = len(Ls_U0)
+            lid = len(ls_fi)
             first = True
             for (fi, j) in tr:
-                f_abs = f0 + fi
-                if not m.line_valid[f_abs][j]:
+                if not line_valid_w[fi, j]:
                     continue
                 if first:
-                    plk = m.line_plucker[f_abs][j]
-                    U, w = geometry.plucker_to_orthonormal(jnp.asarray(plk))
-                    Ls_U0.append(np.asarray(U))
-                    Ls_w0.append(np.asarray(w))
+                    ls_fi.append(fi)
+                    ls_j.append(j)
                     first = False
-                uv4 = m.line_uv[f_abs][j]
-                d2 = m.line_depth[f_abs][j]
-                ms = _backproject_np(K, uv4[:2], d2[0])
-                me = _backproject_np(K, uv4[2:], d2[1])
                 sl_cam.append(fi)
                 sl_line.append(lid)
                 sl_slot.append(j)
-                sl_meas.append(np.concatenate([ms, me]))
             if first:
-                Ls_U0.append(np.eye(3, dtype=dt))
-                Ls_w0.append(np.array([1.0, 0.0], dt))
-    Pl = _bucket(len(Ls_U0))
+                ls_fi.append(-1)
+                ls_j.append(0)
+        n_ls = len(ls_fi)
+    Pl = _bucket(n_ls)
     Esl = _bucket(len(sl_cam))
-    g_Ls_U0 = _pad(
-        np.asarray(Ls_U0 or [np.eye(3)], dt).reshape(-1, 3, 3), Pl
-    )
-    g_Ls_U0[len(Ls_U0):] = np.eye(3, dtype=dt)
-    g_Ls_w0 = _pad(
-        np.asarray(Ls_w0 or [[1.0, 0.0]], dt).reshape(-1, 2), Pl
-    )
-    g_Ls_w0[len(Ls_w0):] = np.array([1.0, 0.0], dt)
+    g_Ls_U0 = np.tile(np.eye(3, dtype=dt), (Pl, 1, 1))
+    g_Ls_w0 = np.tile(np.array([1.0, 0.0], dt), (Pl, 1))
+    if n_ls:
+        lf = np.asarray(ls_fi, np.int32)
+        lj = np.asarray(ls_j, np.int32)
+        U, w_ = _plucker_to_orthonormal_np(
+            line_plk_w[np.maximum(lf, 0), lj]
+        )
+        ok = lf >= 0
+        g_Ls_U0[:n_ls] = np.where(ok[:, None, None], U, np.eye(3, dtype=dt))
+        g_Ls_w0[:n_ls] = np.where(ok[:, None], w_, np.array([1.0, 0.0], dt))
     g_sl_cam = _pad(np.asarray(sl_cam or [0], np.int32), Esl)
     g_sl_line = _pad(np.asarray(sl_line or [0], np.int32), Esl)
-    g_sl_meas = _pad(
-        np.asarray(sl_meas or [np.zeros(6)], dt).reshape(-1, 6), Esl
-    )
+    g_sl_meas = np.zeros((Esl, 6), dt)
+    if sl_cam:
+        slc = np.asarray(sl_cam, np.int32)
+        slj = np.asarray(sl_slot, np.int32)
+        uv4 = line_uv_w[slc, slj]
+        d2 = line_d_w[slc, slj]
+        g_sl_meas[:len(sl_cam)] = np.concatenate(
+            [_backproject_np(K, uv4[:, :2], d2[:, 0]),
+             _backproject_np(K, uv4[:, 2:], d2[:, 1])], axis=1
+        ).astype(dt)
     g_sl_valid = np.arange(Esl) < len(sl_cam)
-    g_Ls_valid = np.arange(Pl) < len(Ls_U0)
+    g_Ls_valid = np.arange(Pl) < n_ls
 
     # ---- dynamic point tracks: a vertex per observation ----
     dyn_tracks, dyn_obj = tk.build_dynamic_tracklets(
         m.dyn_asso[f0:f1], m.dyn_label[f0:f1]
     )
-    Xd0, dp_cam, dp_pt, dp_meas, dp_slot = [], [], [], [], []
+    dyn_valid_w = np.stack(m.dyn_valid[f0:f1])
+    dyn_uv_w = np.stack(m.dyn_uv[f0:f1])
+    dyn_d_w = np.stack(m.dyn_depth[f0:f1])
+    dyn_3d_w = np.stack(m.dyn_3d[f0:f1])
+    dp_cam, dp_pt, dp_slot = [], [], []
     tern_prev, tern_cur, tern_mot = [], [], []
     for tr, lab in zip(dyn_tracks, dyn_obj):
         if len(tr) < min_track_len:
@@ -210,18 +294,13 @@ def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
         prev_vid = None
         prev_frame = None
         for (fi, j) in tr:
-            f_abs = f0 + fi
-            if not m.dyn_valid[f_abs][j]:
+            if not dyn_valid_w[fi, j]:
                 prev_vid = None
                 continue
-            vid = len(Xd0)
-            Xd0.append(m.dyn_3d[f_abs][j])
+            vid = len(dp_cam)
             dp_cam.append(fi)
             dp_pt.append(vid)
             dp_slot.append(j)
-            dp_meas.append(
-                _backproject_np(K, m.dyn_uv[f_abs][j], m.dyn_depth[f_abs][j])
-            )
             if prev_vid is not None and fi == prev_frame + 1:
                 mot = mot_index.get((fi, lab))
                 if mot is not None:
@@ -230,53 +309,52 @@ def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
                     tern_mot.append(mot)
             prev_vid = vid
             prev_frame = fi
-    Pd = _bucket(len(Xd0))
+    n_xd = len(dp_cam)                 # one vertex per observation
+    Pd = _bucket(n_xd)
     Edp = _bucket(len(dp_cam))
     Et = _bucket(len(tern_prev))
-    g_Xd0 = _pad(np.asarray(Xd0 or [np.zeros(3)], dt).reshape(-1, 3), Pd)
+    g_Xd0 = np.zeros((Pd, 3), dt)
+    g_dp_meas = np.zeros((Edp, 3), dt)
+    if dp_cam:
+        dc = np.asarray(dp_cam, np.int32)
+        dj = np.asarray(dp_slot, np.int32)
+        g_Xd0[:n_xd] = dyn_3d_w[dc, dj].astype(dt)
+        g_dp_meas[:n_xd] = _backproject_np(
+            K, dyn_uv_w[dc, dj], dyn_d_w[dc, dj]
+        ).astype(dt)
     g_dp_cam = _pad(np.asarray(dp_cam or [0], np.int32), Edp)
     g_dp_pt = _pad(np.asarray(dp_pt or [0], np.int32), Edp)
-    g_dp_meas = _pad(
-        np.asarray(dp_meas or [np.zeros(3)], dt).reshape(-1, 3), Edp
-    )
     g_dp_valid = np.arange(Edp) < len(dp_cam)
-    g_Xd_valid = np.arange(Pd) < len(Xd0)
+    g_Xd_valid = np.arange(Pd) < n_xd
     g_tern_prev = _pad(np.asarray(tern_prev or [0], np.int32), Et)
     g_tern_cur = _pad(np.asarray(tern_cur or [0], np.int32), Et)
     g_tern_mot = _pad(np.asarray(tern_mot or [0], np.int32), Et)
     g_tern_valid = np.arange(Et) < len(tern_prev)
 
     # ---- dynamic line tracks ----
-    Ld_U0, Ld_w0 = [], []
-    dl_cam, dl_line, dl_meas, dl_slot = [], [], [], []
+    dl_cam, dl_line, dl_slot = [], [], []
     ltern_prev, ltern_cur, ltern_mot = [], [], []
     if use_lines:
         dline_tracks, dline_obj = tk.build_dynamic_tracklets(
             m.dline_asso[f0:f1], m.dline_label[f0:f1]
         )
+        dline_valid_w = np.stack(m.dline_valid[f0:f1])
+        dline_uv_w = np.stack(m.dline_uv[f0:f1])
+        dline_d_w = np.stack(m.dline_depth[f0:f1])
+        dline_plk_w = np.stack(m.dline_plucker[f0:f1])
         for tr, lab in zip(dline_tracks, dline_obj):
             if len(tr) < min_track_len:
                 continue
             prev_vid = None
             prev_frame = None
             for (fi, j) in tr:
-                f_abs = f0 + fi
-                if not m.dline_valid[f_abs][j]:
+                if not dline_valid_w[fi, j]:
                     prev_vid = None
                     continue
-                vid = len(Ld_U0)
-                plk = m.dline_plucker[f_abs][j]
-                U, w = geometry.plucker_to_orthonormal(jnp.asarray(plk))
-                Ld_U0.append(np.asarray(U))
-                Ld_w0.append(np.asarray(w))
-                uv4 = m.dline_uv[f_abs][j]
-                d2 = m.dline_depth[f_abs][j]
-                ms = _backproject_np(K, uv4[:2], d2[0])
-                me = _backproject_np(K, uv4[2:], d2[1])
+                vid = len(dl_cam)
                 dl_cam.append(fi)
                 dl_line.append(vid)
                 dl_slot.append(j)
-                dl_meas.append(np.concatenate([ms, me]))
                 if prev_vid is not None and fi == prev_frame + 1:
                     mot = mot_index.get((fi, lab))
                     if mot is not None:
@@ -285,24 +363,29 @@ def build_graph(map_state, K: Intrinsics, f0: int, f1: int,
                         ltern_mot.append(mot)
                 prev_vid = vid
                 prev_frame = fi
-    Pld = _bucket(len(Ld_U0))
-    Edl = _bucket(len(dl_cam))
+    n_ld = len(dl_cam)                 # one vertex per observation
+    Pld = _bucket(n_ld)
+    Edl = _bucket(n_ld)
     Elt = _bucket(len(ltern_prev))
-    g_Ld_U0 = _pad(
-        np.asarray(Ld_U0 or [np.eye(3)], dt).reshape(-1, 3, 3), Pld
-    )
-    g_Ld_U0[len(Ld_U0):] = np.eye(3, dtype=dt)
-    g_Ld_w0 = _pad(
-        np.asarray(Ld_w0 or [[1.0, 0.0]], dt).reshape(-1, 2), Pld
-    )
-    g_Ld_w0[len(Ld_w0):] = np.array([1.0, 0.0], dt)
+    g_Ld_U0 = np.tile(np.eye(3, dtype=dt), (Pld, 1, 1))
+    g_Ld_w0 = np.tile(np.array([1.0, 0.0], dt), (Pld, 1))
+    g_dl_meas = np.zeros((Edl, 6), dt)
+    if n_ld:
+        dlc = np.asarray(dl_cam, np.int32)
+        dlj = np.asarray(dl_slot, np.int32)
+        U, w_ = _plucker_to_orthonormal_np(dline_plk_w[dlc, dlj])
+        g_Ld_U0[:n_ld] = U
+        g_Ld_w0[:n_ld] = w_
+        uv4 = dline_uv_w[dlc, dlj]
+        d2 = dline_d_w[dlc, dlj]
+        g_dl_meas[:n_ld] = np.concatenate(
+            [_backproject_np(K, uv4[:, :2], d2[:, 0]),
+             _backproject_np(K, uv4[:, 2:], d2[:, 1])], axis=1
+        ).astype(dt)
     g_dl_cam = _pad(np.asarray(dl_cam or [0], np.int32), Edl)
     g_dl_line = _pad(np.asarray(dl_line or [0], np.int32), Edl)
-    g_dl_meas = _pad(
-        np.asarray(dl_meas or [np.zeros(6)], dt).reshape(-1, 6), Edl
-    )
-    g_dl_valid = np.arange(Edl) < len(dl_cam)
-    g_Ld_valid = np.arange(Pld) < len(Ld_U0)
+    g_dl_valid = np.arange(Edl) < n_ld
+    g_Ld_valid = np.arange(Pld) < n_ld
     g_ltern_prev = _pad(np.asarray(ltern_prev or [0], np.int32), Elt)
     g_ltern_cur = _pad(np.asarray(ltern_cur or [0], np.int32), Elt)
     g_ltern_mot = _pad(np.asarray(ltern_mot or [0], np.int32), Elt)
@@ -508,12 +591,22 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
     w = _weights_from_cfg(cfg)
     f1 = map_state.n_frames
     f0 = max(0, f1 - window)
-    graph, meta = build_graph(
-        map_state, K, f0, f1,
-        min_track_len=(cfg.ba_tracklet_min_len if cfg else 3),
-        motion_init_identity=False, prior_info=1e7,   # I/1e-7, :1463
-        use_lines=use_lines,
-    )
+    # windows of the same run share a bucket ratchet (stored on the map)
+    # so later windows re-execute the first window's compiled program
+    store = getattr(map_state, "_ba_bucket_ratchet", None)
+    if store is None:
+        store = {}
+        try:
+            map_state._ba_bucket_ratchet = store
+        except Exception:
+            pass
+    with _ratchet(store):
+        graph, meta = build_graph(
+            map_state, K, f0, f1,
+            min_track_len=(cfg.ba_tracklet_min_len if cfg else 3),
+            motion_init_identity=False, prior_info=1e7,   # I/1e-7, :1463
+            use_lines=use_lines,
+        )
     dtype = _ba_dtype(cfg)
     max_iters = cfg.ba_local_iterations if cfg else 100
     gain = cfg.ba_gain_threshold if cfg else 1e-4
