@@ -34,12 +34,16 @@ def main(argv):
     n = seq.n_frames
     print(f"Images in the sequence: {n}")
 
-    pf = FramePrefetcher(seq.frame, n, lookahead=2)
+    pf = FramePrefetcher(seq.frame, n, lookahead=3)
     for i, (gray, depth, flow, mask) in pf:
         print(f"Processing Frame: {i}")
+        nxt = pf.peek(i + 1)
+        nxt2 = pf.peek(i + 2)
         system.track_rgbd(
             gray, depth, flow, mask, seq.gt_pose(i), seq.gt_obj_poses(i),
             float(seq.timestamps[i]), n,
+            next_image=None if nxt is None else nxt[0],
+            next_image2=None if nxt2 is None else nxt2[0],
         )
     system.save_results(out_dir, plots=True)
     print(system.metric_error())

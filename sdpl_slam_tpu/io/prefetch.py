@@ -43,5 +43,15 @@ class FramePrefetcher:
             yield i, fut.result()
         self._pool.shutdown(wait=False)
 
+    def peek(self, i: int):
+        """Result for index ``i`` (scheduling it if needed) WITHOUT
+        consuming the iteration order; None when out of range.  Used to
+        hand frames t+1/t+2 to the tracker's detector prefetch (the
+        chained loop dispatches detectors two frames ahead)."""
+        if not (0 <= i < self._n):
+            return None
+        self._schedule(i)
+        return self._pending[i].result()
+
     def close(self):
         self._pool.shutdown(wait=False, cancel_futures=True)

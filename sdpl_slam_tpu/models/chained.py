@@ -342,59 +342,68 @@ def _np_floor_lookup(plane, uv):
     return vals, inb
 
 
+def _flat_idx(plane_shape, q):
+    """Shared floor/clip/flatten index computation for one position set;
+    returns (flat_idx, inb).  The per-plane gathers then reuse it (3-7
+    planes are sampled at every position set -- recomputing floor/clip
+    per plane was ~40% of the per-frame host time)."""
+    h, w = plane_shape
+    u = np.floor(q[..., 0]).astype(np.int32)
+    v = np.floor(q[..., 1]).astype(np.int32)
+    inb = (u > 0) & (u < w - 1) & (v > 0) & (v < h - 1)
+    np.clip(u, 0, w - 1, out=u)
+    np.clip(v, 0, h - 1, out=v)
+    return v * w + u, inb
+
+
 def _sample_point_rows(depth, flow, mask, q):
     """(N,5) family rows [inb, d, m, fu, fv] at positions q."""
-    d, inb = _np_floor_lookup(depth, q)
-    m, _ = _np_floor_lookup(mask, q)
-    f, _ = _np_floor_lookup(flow, q)
-    out = np.zeros((len(q), 5), np.float32)
+    idx, inb = _flat_idx(mask.shape, q)
+    out = np.empty((len(q), 5), np.float32)
     out[:, 0] = inb
-    out[:, 1] = d
-    out[:, 2] = m
-    out[:, 3:5] = f
+    out[:, 1] = depth.ravel()[idx]
+    out[:, 2] = mask.ravel()[idx]
+    out[:, 3:5] = flow.reshape(-1, 2)[idx]
     return out
 
 
 def _sample_line_rows(depth, flow, mask, q4):
     """(N,11) family rows [inb_s, inb_e, ds, de, dm, ms, me, f4]."""
     qs, qe = q4[:, :2], q4[:, 2:]
-    qm = 0.5 * (qs + qe)
-    ds, inb_s = _np_floor_lookup(depth, qs)
-    de, inb_e = _np_floor_lookup(depth, qe)
-    dm, _ = _np_floor_lookup(depth, qm)
-    ms, _ = _np_floor_lookup(mask, qs)
-    me, _ = _np_floor_lookup(mask, qe)
-    fs, _ = _np_floor_lookup(flow, qs)
-    fe, _ = _np_floor_lookup(flow, qe)
-    out = np.zeros((len(q4), 11), np.float32)
+    i_s, inb_s = _flat_idx(mask.shape, qs)
+    i_e, inb_e = _flat_idx(mask.shape, qe)
+    i_m, _ = _flat_idx(mask.shape, 0.5 * (qs + qe))
+    df = depth.ravel()
+    mf = mask.ravel()
+    ff = flow.reshape(-1, 2)
+    out = np.empty((len(q4), 11), np.float32)
     out[:, 0] = inb_s
     out[:, 1] = inb_e
-    out[:, 2] = ds
-    out[:, 3] = de
-    out[:, 4] = dm
-    out[:, 5] = ms
-    out[:, 6] = me
-    out[:, 7:9] = fs
-    out[:, 9:11] = fe
+    out[:, 2] = df[i_s]
+    out[:, 3] = df[i_e]
+    out[:, 4] = df[i_m]
+    out[:, 5] = mf[i_s]
+    out[:, 6] = mf[i_e]
+    out[:, 7:9] = ff[i_s]
+    out[:, 9:11] = ff[i_e]
     return out
 
 
 def _sample_oline_rows(depth, flow, mask, q4):
     """(N,9) family rows [inb_s, inb_e, ds, de, ms, f4]."""
     qs, qe = q4[:, :2], q4[:, 2:]
-    ds, inb_s = _np_floor_lookup(depth, qs)
-    de, inb_e = _np_floor_lookup(depth, qe)
-    ms, _ = _np_floor_lookup(mask, qs)
-    fs, _ = _np_floor_lookup(flow, qs)
-    fe, _ = _np_floor_lookup(flow, qe)
-    out = np.zeros((len(q4), 9), np.float32)
+    i_s, inb_s = _flat_idx(mask.shape, qs)
+    i_e, inb_e = _flat_idx(mask.shape, qe)
+    df = depth.ravel()
+    ff = flow.reshape(-1, 2)
+    out = np.empty((len(q4), 9), np.float32)
     out[:, 0] = inb_s
     out[:, 1] = inb_e
-    out[:, 2] = ds
-    out[:, 3] = de
-    out[:, 4] = ms
-    out[:, 5:7] = fs
-    out[:, 7:9] = fe
+    out[:, 2] = df[i_s]
+    out[:, 3] = df[i_e]
+    out[:, 4] = mask.ravel()[i_s]
+    out[:, 5:7] = ff[i_s]
+    out[:, 7:9] = ff[i_e]
     return out
 
 
@@ -458,7 +467,7 @@ class ChainedDriver(ResidentDriver):
         self.base_pos_frame = -1  # frame index base_pos lives in
         self.planes = {}          # frame -> (depth_pre, flow, mask_rec)
         self.prev_cands = None    # (stat_tmp, line_tmp, obj_tmp, oline_tmp)
-        self._det_pending = None  # (frame, _FrameDetections)
+        self._det_pending = {}    # frame -> _FrameDetections (<=2 ahead)
         self._step_fn = None
         self._hw = None
 
@@ -496,7 +505,7 @@ class ChainedDriver(ResidentDriver):
             tr.depth_np, tr.last_flow_np, tr.last_mask_np,
         )
         self.prev_cands = None
-        self._det_pending = None
+        self._det_pending = {}
 
     def exit(self):
         tr = self.tr
@@ -641,7 +650,7 @@ class ChainedDriver(ResidentDriver):
     def track(self, gray, depth_raw, flow, mask, pose_gt, gt_objs,
               timing, f_id, n_images, stop_frame,
               line_detections=None, point_detections=None,
-              next_gray=None):
+              next_gray=None, next_gray2=None):
         import threading
         import time as _time
 
@@ -650,18 +659,29 @@ class ChainedDriver(ResidentDriver):
         from . import tracking as _T
 
         t_all = _time.perf_counter()
+        perf = getattr(self, "perf", None)
+        if perf is None and __import__("os").environ.get("SDPL_CHAINED_PERF"):
+            perf = self.perf = {}
+        def _mark(name, _t=[t_all]):
+            if perf is not None:
+                now = _time.perf_counter()
+                perf.setdefault(name, []).append((now - _t[0]) * 1e3)
+                _t[0] = now
 
-        # dispatch next frame's detectors FIRST: their pull must land by
-        # the next call's selection build, and the drains below give the
-        # transfer time to ride the wire
+        # dispatch upcoming frames' detectors FIRST, up to TWO frames
+        # ahead: a detector result lands ~50 ms after dispatch over the
+        # tunnel (queue behind the previous step's exec + 40 ms landing),
+        # i.e. mid-way into the NEXT frame when dispatched only one ahead
+        # -- the selection stage then blocks on the join.  Two-ahead
+        # dispatch gives the result a full frame of slack.
         need_fast = cfg.use_sample_fea == 0 and point_detections is None
         need_lines = line_detections is None and cfg.use_lines
-        if next_gray is not None and (need_fast or need_lines):
-            next_det = (f_id + 1, tr._dispatch_detectors(
-                next_gray, need_fast, need_lines
-            ))
-        else:
-            next_det = None
+        if need_fast or need_lines:
+            for fr, g in ((f_id + 1, next_gray), (f_id + 2, next_gray2)):
+                if g is not None and fr not in self._det_pending:
+                    self._det_pending[fr] = tr._dispatch_detectors(
+                        g, need_fast, need_lines
+                    )
 
         # BA trigger for the PREVIOUS frame must complete before this
         # dispatch (the refined pose feeds this frame's solve)
@@ -669,10 +689,12 @@ class ChainedDriver(ResidentDriver):
             self.drain_all()
             self._run_partial_ba()
 
+        _mark("dispatch_det")
         # ---- hard-LAG drain: base must be exactly the provenance
         # generation of the live state ----
         while len(self.pending) > self.LAG:
             self._drain_one()
+        _mark("drain")
 
         # ---- host prep: planes ----
         depth_pre = _T._np_preprocess_depth(
@@ -687,30 +709,13 @@ class ChainedDriver(ResidentDriver):
         for k in list(self.planes.keys()):
             if k < f_id - 3:
                 del self.planes[k]
+        _mark("planes")
 
-        # ---- detector outputs for THIS frame ----
-        det = None
-        if self._det_pending is not None and self._det_pending[0] == f_id:
-            det = self._det_pending[1]
-        elif need_fast or need_lines:
-            det = tr._dispatch_detectors(gray, need_fast, need_lines)
-        self._det_pending = next_det
-
-        # ---- candidate selections (family C) ----
-        tr.depth_np = depth_pre
-        tr.mask_np = mask_rec
-        stat_tmp, line_tmp, oline_tmp = tr._finish_selection(
-            det, point_detections, line_detections, flow_np,
-            *self._hw,
-        )
+        # ---- families A and B + detector-independent selections (run
+        # BEFORE the detector join so the landing overlaps host work) ----
         obj_tmp = fh.select_object_points(
             depth_pre, flow_np, mask_rec, cfg.th_depth_obj, tr.NO,
         )
-        olc_ok = _np_filt_line_ok(
-            oline_tmp[0], depth_pre, flow_np, mask_rec
-        )
-
-        # ---- families A and B ----
         A_s = _sample_point_rows(depth_pre, flow_np, mask_rec,
                                  self.base_pos["s"])
         A_l = _sample_line_rows(depth_pre, flow_np, mask_rec,
@@ -734,6 +739,27 @@ class ChainedDriver(ResidentDriver):
             B_l = np.zeros_like(A_l)
             B_o = np.zeros_like(A_o)
             B_ol = np.zeros_like(A_ol)
+        _mark("families")
+
+        # ---- detector outputs for THIS frame ----
+        det = self._det_pending.pop(f_id, None)
+        for k in list(self._det_pending.keys()):
+            if k <= f_id:
+                del self._det_pending[k]
+        if det is None and (need_fast or need_lines):
+            det = tr._dispatch_detectors(gray, need_fast, need_lines)
+
+        # ---- candidate selections (family C) ----
+        tr.depth_np = depth_pre
+        tr.mask_np = mask_rec
+        stat_tmp, line_tmp, oline_tmp = tr._finish_selection(
+            det, point_detections, line_detections, flow_np,
+            *self._hw,
+        )
+        olc_ok = _np_filt_line_ok(
+            oline_tmp[0], depth_pre, flow_np, mask_rec
+        )
+        _mark("selection")
 
         # ---- pack + dispatch ----
         parts = dict(
@@ -758,6 +784,8 @@ class ChainedDriver(ResidentDriver):
             for name, _ in bundle_spec(self.caps)
         ])
         self.prev_cands = (stat_tmp, line_tmp, obj_tmp, oline_tmp)
+        self.last_bundle = buf     # kept for bench.py's device-exec probe
+        _mark("families_pack")
 
         fn = self._chained_fn()
         t0 = _time.perf_counter()
@@ -768,6 +796,7 @@ class ChainedDriver(ResidentDriver):
         )
         self.state = state
         timing[1] = (_time.perf_counter() - t0) * 1e3
+        _mark("dispatch_step")
 
         out.copy_to_host_async()
         holder = {"np": None, "err": None}
@@ -780,6 +809,9 @@ class ChainedDriver(ResidentDriver):
 
         th = threading.Thread(target=_pull, daemon=True)
         th.start()
+        # slot 0 = host prep (mask recovery, shadow sampling, selections);
+        # must be written BEFORE the copy lands in the pending record
+        timing[0] = (_time.perf_counter() - t_all) * 1e3 - timing[1]
         self.pending.append(dict(
             f_id=f_id, th=th, holder=holder,
             pose_gt=pose_gt, gt_objs=gt_objs,
@@ -787,7 +819,6 @@ class ChainedDriver(ResidentDriver):
             stop_frame=stop_frame,
         ))
         self._prev_gt = (gt_objs, pose_gt)
-        timing[0] = (_time.perf_counter() - t_all) * 1e3 - timing[1]
 
         # the LAST frame finishes synchronously so the final map is exact
         if f_id >= stop_frame or f_id >= n_images - 1:

@@ -58,13 +58,17 @@ class System:
         line_detections: Optional[np.ndarray] = None,
         point_detections: Optional[np.ndarray] = None,
         next_image: Optional[np.ndarray] = None,
+        next_image2: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Track one RGB-D frame; returns estimated T_cw.  Mirrors
         ``System::TrackRGBD`` (System.cc:51-64); the trajectory canvas of
         the reference API is dropped (visualization is offline here).
         ``next_image``: optional prefetched image of frame t+1 -- its
         feature detectors run during this frame's solve, taking them off
-        the per-frame critical path."""
+        the per-frame critical path.  ``next_image2`` (frame t+2) lets
+        the chained loop dispatch detectors TWO frames ahead: over the
+        tunneled link a detector result lands ~50 ms after dispatch,
+        i.e. mid-way into the NEXT frame when dispatched only one ahead."""
 
         def to_gray(img):
             if img.ndim != 3:
@@ -88,6 +92,8 @@ class System:
                 line_detections=line_detections,
                 point_detections=point_detections,
                 next_gray=None if next_image is None else to_gray(next_image),
+                next_gray2=(None if next_image2 is None
+                            else to_gray(next_image2)),
             )
 
     def save_checkpoint(self, path: str | Path) -> None:

@@ -76,13 +76,17 @@ def _np_preprocess_depth(depth_raw: np.ndarray, choose_data: int,
     """Host mirror of frame.preprocess_depth -- dense device->host pulls are
     prohibitively slow over the axon tunnel, so renewal/map logic uses this
     host copy."""
-    d = np.where(depth_raw < 0, 0.0, depth_raw.astype(np.float32))
+    d = depth_raw if depth_raw.dtype == np.float32 else depth_raw.astype(
+        np.float32
+    )
     if choose_data == KITTI:
         with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(d > 0, bf / (d / factor), 0.0)
+            out = (np.float32(bf * factor) / d).astype(np.float32)
+        # d <= 0 (invalid or negative disparity) -> 0
+        np.place(out, ~np.isfinite(out) | (out < 0), 0.0)
     else:
-        out = d / factor
-    return out.astype(np.float32)
+        out = np.where(d < 0, np.float32(0.0), d) * np.float32(1.0 / factor)
+    return out
 
 
 def obj_pose_parsing_kt(row: np.ndarray) -> np.ndarray:
@@ -573,6 +577,7 @@ class Tracking:
         line_detections: Optional[np.ndarray] = None,
         point_detections: Optional[np.ndarray] = None,
         next_gray: Optional[np.ndarray] = None,
+        next_gray2: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Process one frame; returns the estimated camera pose T_cw.
 
@@ -625,6 +630,7 @@ class Tracking:
                 kw = {}
                 if cfg.chained_tracking:
                     kw["next_gray"] = next_gray
+                    kw["next_gray2"] = next_gray2
                 pose = self._res.track(
                     gray, depth_raw, flow, mask, pose_gt, gt_objs, timing,
                     self.f_id, n_images, stop_frame,
