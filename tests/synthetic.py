@@ -75,10 +75,69 @@ class SynthFrame:
 
 
 class SynthSequence:
-    def __init__(self, cfg: SynthConfig = SynthConfig()):
+    def __init__(self, cfg: SynthConfig = SynthConfig(),
+                 cache: bool = None):
         self.cfg = cfg
         self.rng = np.random.default_rng(cfg.seed)
+        # disk cache for LARGE sequences: the f64 ray-traced render costs
+        # seconds per KITTI-res frame -- bench.py's 54-frame sequence is
+        # minutes of setup that has nothing to do with what is measured.
+        # Keyed by the full config; stored uncompressed under
+        # tests/.synth_cache (gitignored).
+        if cache is None:
+            cache = cfg.n_frames * cfg.width * cfg.height > 6e6
+        path = None
+        if cache:
+            import dataclasses as _dc
+            import hashlib
+            import os
+            key = hashlib.sha1(
+                repr(sorted(_dc.asdict(cfg).items())).encode()
+            ).hexdigest()[:16]
+            d = os.path.join(os.path.dirname(__file__), ".synth_cache")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, key + ".npz")
+            if os.path.exists(path):
+                self._frames = self._load(path)
+                return
         self._frames = [self._render(t) for t in range(cfg.n_frames)]
+        if path is not None:
+            self._save(path)
+
+    def _save(self, path):
+        import os
+        arrs = {}
+        for t, f in enumerate(self._frames):
+            arrs[f"g{t}"] = f.gray
+            arrs[f"d{t}"] = f.depth
+            arrs[f"f{t}"] = f.flow
+            arrs[f"m{t}"] = f.mask
+            arrs[f"p{t}"] = f.gt_pose
+            arrs[f"o{t}"] = (
+                np.stack(f.obj_rows) if f.obj_rows
+                else np.zeros((0, 10), np.float32)
+            )
+            arrs[f"l{t}"] = (
+                f.lines if f.lines is not None
+                else np.zeros((0, 4), np.float32)
+            )
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **arrs)
+        os.replace(tmp, path)
+
+    def _load(self, path):
+        z = np.load(path)
+        frames = []
+        for t in range(self.cfg.n_frames):
+            rows = z[f"o{t}"]
+            lines = z[f"l{t}"]
+            frames.append(SynthFrame(
+                gray=z[f"g{t}"], depth=z[f"d{t}"], flow=z[f"f{t}"],
+                mask=z[f"m{t}"], gt_pose=z[f"p{t}"],
+                obj_rows=[r for r in rows],
+                lines=lines if len(lines) else None,
+            ))
+        return frames
 
     @property
     def n_frames(self):
@@ -89,8 +148,13 @@ class SynthSequence:
 
     # ------------------------------------------------------------------
     def _backproject_grid(self, cfg):
-        us, vs = np.meshgrid(np.arange(cfg.width), np.arange(cfg.height))
-        return us.astype(np.float64), vs.astype(np.float64)
+        grid = getattr(self, "_grid", None)
+        if grid is None:
+            us, vs = np.meshgrid(np.arange(cfg.width),
+                                 np.arange(cfg.height))
+            grid = self._grid = (us.astype(np.float64),
+                                 vs.astype(np.float64))
+        return grid
 
     def _render(self, t: int) -> SynthFrame:
         cfg = self.cfg
