@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <png.h>
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
@@ -98,6 +99,81 @@ void sdpl_depth_scale(const float* in, float* out, int64_t n, float factor) {
     float d = in[i];
     out[i] = d > 0.f ? d / factor : 0.f;
   }
+}
+
+// PNG decode via libpng (replaces cv2.imread on the loader hot path;
+// the reference reads images with cv::imread UNCHANGED,
+// /root/reference/example/sdpl_slam.cc:104-113).
+//
+// out receives the decoded rows packed little-endian:
+//   8-bit:  channels bytes per pixel
+//   16-bit: channels uint16 per pixel (network order swapped to LE)
+// Palette images expand to RGB; 1/2/4-bit gray expands to 8-bit.
+// Returns 0 on success; fills w/h/channels/bitdepth.
+//   -1 open/parse failure, -3 capacity too small.
+int32_t sdpl_read_png(const char* path, uint8_t* out, int64_t cap_bytes,
+                      int32_t* w, int32_t* h, int32_t* channels,
+                      int32_t* bitdepth) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  png_byte sig[8];
+  if (fread(sig, 1, 8, f) != 8 || png_sig_cmp(sig, 0, 8)) {
+    fclose(f);
+    return -1;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) { fclose(f); return -1; }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    fclose(f);
+    return -1;
+  }
+  int32_t rc = 0;
+  png_bytep* rows = nullptr;
+  if (setjmp(png_jmpbuf(png))) {
+    delete[] rows;
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return -1;
+  }
+  png_init_io(png, f);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  png_uint_32 width = png_get_image_width(png, info);
+  png_uint_32 height = png_get_image_height(png, info);
+  int depth = png_get_bit_depth(png, info);
+  int ctype = png_get_color_type(png, info);
+
+  if (ctype == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (ctype == PNG_COLOR_TYPE_GRAY && depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (depth == 16) png_set_swap(png);   // big-endian file -> LE host
+  png_read_update_info(png, info);
+
+  depth = png_get_bit_depth(png, info);
+  int nch = png_get_channels(png, info);
+  size_t rowbytes = png_get_rowbytes(png, info);
+  const int64_t need = static_cast<int64_t>(rowbytes) * height;
+  if (need > cap_bytes) {
+    rc = -3;
+  } else {
+    rows = new png_bytep[height];
+    for (png_uint_32 y = 0; y < height; ++y)
+      rows[y] = out + static_cast<size_t>(y) * rowbytes;
+    png_read_image(png, rows);
+    *w = static_cast<int32_t>(width);
+    *h = static_cast<int32_t>(height);
+    *channels = nch;
+    *bitdepth = depth;
+  }
+  delete[] rows;
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+  return rc;
 }
 
 }  // extern "C"

@@ -77,7 +77,22 @@ def read_mask_txt(path: str | Path,
 
 def read_image_gray(path: str | Path) -> np.ndarray:
     """Load an image as uint8 grayscale (reference converts RGB->gray,
-    /root/reference/src/Tracking.cc:224-237)."""
+    /root/reference/src/Tracking.cc:224-237).  Prefers the native libpng
+    decoder (native/sdpl_io.cpp) and falls back to cv2 for non-PNG."""
+    from . import native
+
+    if native.available() and str(path).lower().endswith(".png"):
+        im = native.read_png(str(path))
+        if im is not None:
+            if im.ndim == 3:
+                # PNG channel order is RGB; cvtColor luma weights
+                wts = np.array([0.299, 0.587, 0.114], np.float32)
+                im = (
+                    im[..., :3].astype(np.float32) @ wts
+                ).round().astype(np.uint8)
+            elif im.dtype == np.uint16:
+                im = (im >> 8).astype(np.uint8)
+            return im
     import cv2
 
     im = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
@@ -90,7 +105,14 @@ def read_image_gray(path: str | Path) -> np.ndarray:
 
 def read_depth_png(path: str | Path) -> np.ndarray:
     """Load a depth/disparity PNG as float32 (reference: imread UNCHANGED
-    then convertTo CV_32F, /root/reference/example/sdpl_slam.cc:110-113)."""
+    then convertTo CV_32F, /root/reference/example/sdpl_slam.cc:110-113).
+    Prefers the native libpng decoder."""
+    from . import native
+
+    if native.available() and str(path).lower().endswith(".png"):
+        im = native.read_png(str(path))
+        if im is not None and im.ndim == 2:
+            return im.astype(np.float32)
     import cv2
 
     im = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)

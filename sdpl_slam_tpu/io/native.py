@@ -49,6 +49,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_float, ctypes.c_float,
         ]
+        lib.sdpl_read_png.restype = ctypes.c_int32
+        lib.sdpl_read_png.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -73,6 +80,48 @@ def parse_int_matrix(path: str, rows: int, cols: int) -> Optional[np.ndarray]:
     if n != rows * cols:
         return None
     return out.reshape(rows, cols)
+
+
+def read_png(path: str) -> Optional[np.ndarray]:
+    """Decode a PNG with the native libpng kernel.  Returns (H, W) or
+    (H, W, C) uint8/uint16; None when native decode is unavailable or
+    the file isn't a PNG it handles."""
+    lib = _load()
+    if lib is None:
+        return None
+    # IHDR peek (spec bytes 16..25) sizes the output buffer exactly
+    try:
+        with open(path, "rb") as f:
+            head = f.read(26)
+    except OSError:
+        return None
+    if len(head) < 26 or head[1:4] != b"PNG":
+        return None
+    w = int.from_bytes(head[16:20], "big")
+    h = int.from_bytes(head[20:24], "big")
+    depth = head[24]
+    ctype = head[25]
+    nch = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(ctype)
+    if nch is None or w <= 0 or h <= 0:
+        return None
+    itemsize = 2 if depth == 16 else 1
+    buf = np.zeros(h * w * nch * itemsize, np.uint8)
+    ww = ctypes.c_int32(0)
+    hh = ctypes.c_int32(0)
+    cc = ctypes.c_int32(0)
+    bd = ctypes.c_int32(0)
+    rc = lib.sdpl_read_png(
+        str(path).encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        ctypes.byref(ww), ctypes.byref(hh), ctypes.byref(cc),
+        ctypes.byref(bd),
+    )
+    if rc != 0:
+        return None
+    dtype = np.uint16 if bd.value == 16 else np.uint8
+    arr = buf.view(dtype)[: hh.value * ww.value * cc.value]
+    arr = arr.reshape(hh.value, ww.value, cc.value)
+    return arr[..., 0] if cc.value == 1 else arr
 
 
 def read_flo(path: str) -> Optional[np.ndarray]:

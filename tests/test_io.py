@@ -80,3 +80,42 @@ def test_prefetcher_order_and_laziness():
     out = list(FramePrefetcher(load, 7, lookahead=2))
     assert [v for _, v in out] == [i * 10 for i in range(7)]
     assert sorted(loaded) == list(range(7))
+
+
+def test_native_png_decoder(tmp_path):
+    """Native libpng decode (native/sdpl_io.cpp sdpl_read_png) must match
+    cv2.imread bit-for-bit on gray8 / depth16 and within luma rounding on
+    RGB (the loader hot path, example/sdpl_slam.cc:104-113)."""
+    import cv2
+
+    from sdpl_slam_tpu.io import native
+    from sdpl_slam_tpu.io.dataset import read_depth_png, read_image_gray
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, 255, (37, 53), np.uint8)
+    p1 = str(tmp_path / "g8.png")
+    cv2.imwrite(p1, g)
+    out = native.read_png(p1)
+    assert out.dtype == np.uint8 and np.array_equal(out, g)
+    assert np.array_equal(read_image_gray(p1), g)
+
+    z = rng.integers(0, 65535, (37, 53)).astype(np.uint16)
+    p2 = str(tmp_path / "d16.png")
+    cv2.imwrite(p2, z)
+    out = native.read_png(p2)
+    assert out.dtype == np.uint16 and np.array_equal(out, z)
+    assert np.allclose(read_depth_png(p2), z.astype(np.float32))
+
+    c = rng.integers(0, 255, (37, 53, 3), np.uint8)
+    p3 = str(tmp_path / "rgb.png")
+    cv2.imwrite(p3, c)                       # cv2 writes BGR
+    out = native.read_png(p3)                # PNG stores RGB
+    assert out.shape == (37, 53, 3)
+    assert np.array_equal(out[..., 0], c[..., 2])
+    gg = read_image_gray(p3)
+    ref = cv2.cvtColor(c, cv2.COLOR_BGR2GRAY)
+    assert np.max(np.abs(gg.astype(int) - ref.astype(int))) <= 1
