@@ -123,6 +123,11 @@ class Settings:
     # (documented in models/chained.py); accuracy is gated by
     # tests/test_chained.py on the synthetic oracle.
     chained_tracking: bool = False
+    # resident-mode input compression: push f16 depth/flow + u8 mask
+    # (~3.3 MB/frame vs ~8 MB dense f32/i32).  Lossy at ~1e-3 relative
+    # (below sensor/flow noise); parity-gated by
+    # tests/test_resident.py::test_resident_compressed_input
+    resident_compress_input: bool = False
     min_object_points: int = 150      # Tracking.cc:2581
     min_pnp_inliers_obj: int = 50     # Tracking.cc:1387
     boundary_shrink_x: int = 25       # KITTI boundary rejection, Tracking.cc:2476

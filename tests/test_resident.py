@@ -185,3 +185,31 @@ def test_resident_system_with_local_ba():
     # BA runs in both modes at the same trigger frames; refined
     # trajectories must agree
     _maps_close(m_host, m_res)
+
+
+def test_resident_compressed_input():
+    """Input-plane compression (f16 depth/flow + u8 mask, ~3.3 MB/frame
+    instead of ~8 MB) must stay within the host-parity tolerances -- the
+    ~1e-3 relative quantization sits below the synthetic flow noise."""
+    cfg = SynthConfig(n_frames=6, n_objects=2, noise_flow=0.1)
+    seq = SynthSequence(cfg)
+    settings = synth_settings(cfg)
+    settings.resident_tracking = True
+    settings.resident_compress_input = True
+    settings.run_local_ba = False
+    sys_ = System(settings, verbose=False)
+    n = seq.n_frames - 1
+    for t in range(n):
+        f = seq.frame(t)
+        sys_.track_rgbd(
+            f.gray, f.depth, f.flow, f.mask, f.gt_pose, f.obj_rows,
+            float(t) * 0.1, n, line_detections=f.lines,
+        )
+    m = sys_.map
+    from sdpl_slam_tpu.utils import metrics
+
+    t_err, r_err = metrics.camera_rpe(m.camera_poses, m.camera_poses_gt)
+    assert t_err < 0.02, t_err
+    assert r_err < 0.2, r_err
+    # objects still tracked
+    assert sum(1 for mm in m.rigid_motions if len(mm) > 1) >= 2
