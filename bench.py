@@ -197,9 +197,10 @@ def main():
     if lbas:
         lba_ms = round(float(min(lbas)), 1)
         # throughput over the steady-state stretch: frames after the
-        # second window, including their (warm) LBA time
+        # second window's trigger+1 (its compile executes at trigger+1),
+        # including the third window's (warm) LBA time
         second_w = 2 * stride + settings.overlap_size - 1
-        tail = times[max(second_w + 1 - warmup, 0):]
+        tail = times[max(second_w + 2 - warmup, 0):]
         if len(lbas) >= 3 and tail:
             track_lba_fps = round(len(tail) / sum(tail), 3)
 
