@@ -192,3 +192,41 @@ def test_resident_step_runs_on_tpu():
     )
     assert t_err < 0.02, t_err
     assert r_err < 0.1, r_err
+
+
+def test_chained_step_runs_on_tpu():
+    """The chained loop (models/chained.py -- the benchmark
+    configuration) executes on the accelerator with the fused local BA
+    and holds the accuracy gate."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from synthetic import SynthConfig, SynthSequence, synth_settings
+    from sdpl_slam_tpu.models.system import System
+    from sdpl_slam_tpu.utils import metrics
+
+    cfg = SynthConfig(n_frames=8, n_objects=1, noise_flow=0.1)
+    seq = SynthSequence(cfg)
+    settings = synth_settings(cfg)
+    settings.chained_tracking = True
+    settings.run_local_ba = True
+    settings.window_size = 5
+    settings.overlap_size = 2
+    settings.run_global_ba = False
+    sys_ = System(settings, verbose=False)
+    n = seq.n_frames - 1
+    for t in range(n):
+        f = seq.frame(t)
+        nxt = seq.frame(t + 1) if t + 1 < n else None
+        nxt2 = seq.frame(t + 2) if t + 2 < n else None
+        sys_.track_rgbd(f.gray, f.depth, f.flow, f.mask, f.gt_pose,
+                        f.obj_rows, t * 0.1, n, line_detections=f.lines,
+                        next_image=None if nxt is None else nxt.gray,
+                        next_image2=None if nxt2 is None else nxt2.gray)
+    assert len(sys_.map.lba_times) >= 1
+    t_err, r_err = metrics.camera_rpe(
+        sys_.map.camera_poses, sys_.map.camera_poses_gt
+    )
+    assert t_err < 0.02, t_err
+    assert r_err < 0.2, r_err
