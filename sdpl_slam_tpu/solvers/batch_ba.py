@@ -486,9 +486,14 @@ def _solve_normal_eq(graph: BAGraph, state: BAState, w: BAWeights,
     z = M(r)
     p = z
     rz = _tree_dot(r, z)
+    rz0 = rz
 
-    def body(i, carry):
-        x, r, z, p, rz = carry
+    def cond(carry):
+        x, r, z, p, rz, i = carry
+        return (i < cg_iters) & (rz > 1e-4 * rz0)
+
+    def body(carry):
+        x, r, z, p, rz, i = carry
         Ap = A(p)
         alpha = rz / jnp.maximum(_tree_dot(p, Ap), 1e-20)
         x = {k: x[k] + alpha * p[k] for k in x}
@@ -497,9 +502,11 @@ def _solve_normal_eq(graph: BAGraph, state: BAState, w: BAWeights,
         rz_new = _tree_dot(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-20)
         p = {k: z[k] + beta * p[k] for k in p}
-        return x, r, z, p, rz_new
+        return x, r, z, p, rz_new, i + 1
 
-    x, r, z, p, rz = jax.lax.fori_loop(0, cg_iters, body, (x, r, z, p, rz))
+    x, r, z, p, rz, _ = jax.lax.while_loop(
+        cond, body, (x, r, z, p, rz, jnp.asarray(0, jnp.int32))
+    )
     gain_den = _tree_dot(x, {k: lam * x[k] - g[k] for k in x})
     return x, gain_den
 
@@ -562,9 +569,17 @@ def ba_gn_step(graph: BAGraph, state: BAState, w: BAWeights,
     z = M(r)
     p = z
     rz = _tree_dot(r, z)
+    rz0 = rz
 
-    def body(i, carry):
-        x, r, z, p, rz = carry
+    def cond(carry):
+        # inexact-Newton exit: the LM step only needs the system solved
+        # to ~1e-2 residual (rz ~ ||r||_M^2); converged windows stop in
+        # a handful of iterations instead of burning the full budget
+        x, r, z, p, rz, i = carry
+        return (i < cg_iters) & (rz > 1e-4 * rz0)
+
+    def body(carry):
+        x, r, z, p, rz, i = carry
         Ap = A(p)
         pAp = _tree_dot(p, Ap)
         alpha = rz / jnp.maximum(pAp, 1e-20)
@@ -574,9 +589,11 @@ def ba_gn_step(graph: BAGraph, state: BAState, w: BAWeights,
         rz_new = _tree_dot(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-20)
         p = {k: z[k] + beta * p[k] for k in p}
-        return x, r, z, p, rz_new
+        return x, r, z, p, rz_new, i + 1
 
-    x, r, z, p, rz = jax.lax.fori_loop(0, cg_iters, body, (x, r, z, p, rz))
+    x, r, z, p, rz, _ = jax.lax.while_loop(
+        cond, body, (x, r, z, p, rz, jnp.asarray(0, jnp.int32))
+    )
     gain_den = _tree_dot(x, {k: lam * x[k] - g[k] for k in x})
     return x, cost, gain_den
 
