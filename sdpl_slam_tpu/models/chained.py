@@ -659,14 +659,20 @@ class ChainedDriver(ResidentDriver):
         from . import tracking as _T
 
         t_all = _time.perf_counter()
+        # per-section wall timers, enabled by SDPL_CHAINED_PERF=1
+        # (accumulated in self.perf: section -> [ms, ...])
+        import os as _os
+
         perf = getattr(self, "perf", None)
-        if perf is None and __import__("os").environ.get("SDPL_CHAINED_PERF"):
+        if perf is None and _os.environ.get("SDPL_CHAINED_PERF"):
             perf = self.perf = {}
-        def _mark(name, _t=[t_all]):
+        _last = [t_all]
+
+        def _mark(name):
             if perf is not None:
                 now = _time.perf_counter()
-                perf.setdefault(name, []).append((now - _t[0]) * 1e3)
-                _t[0] = now
+                perf.setdefault(name, []).append((now - _last[0]) * 1e3)
+                _last[0] = now
 
         # dispatch upcoming frames' detectors FIRST, up to TWO frames
         # ahead: a detector result lands ~50 ms after dispatch over the

@@ -1,5 +1,7 @@
 """Config parsing against the real reference yamls + output subsystems."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -73,3 +75,51 @@ def test_plotting_outputs(tmp_path, run):
     plotting.write_tracklet_histograms(run.map, tmp_path)
     h = np.loadtxt(tmp_path / "track_distribution_static.txt")
     assert h.sum() > 0
+
+
+def test_offline_evaluator(tmp_path):
+    """examples/evaluate.py round-trips the written result files and
+    reproduces the in-memory metric values."""
+    import subprocess
+    import sys as _sys
+
+    from synthetic import SynthConfig, SynthSequence, synth_settings
+    from sdpl_slam_tpu.models.system import System
+    from sdpl_slam_tpu.utils import metrics
+
+    cfg = SynthConfig(n_frames=6, n_objects=1)
+    seq = SynthSequence(cfg)
+    s = synth_settings(cfg)
+    s.run_local_ba = False
+    s.run_global_ba = False
+    sys_ = System(s, verbose=False)
+    n = seq.n_frames - 1
+    for t in range(n):
+        f = seq.frame(t)
+        sys_.track_rgbd(f.gray, f.depth, f.flow, f.mask, f.gt_pose,
+                        f.obj_rows, t * 0.1, n, line_detections=f.lines)
+    out = tmp_path / "res"
+    sys_.save_results(str(out))
+
+    root = Path(__file__).resolve().parents[1]
+    _sys.path.insert(0, str(root / "examples"))
+    import evaluate as ev
+
+    ids, est = ev.read_pose_file(out / "initial_stereo_new.txt")
+    _, gt = ev.read_pose_file(out / "cam_pose_gt_stereo.txt")
+    assert len(est) == len(sys_.map.camera_poses)
+    t_file, r_file = metrics.camera_rpe(est, gt)
+    t_mem, r_mem = metrics.camera_rpe(
+        sys_.map.camera_poses, sys_.map.camera_poses_gt
+    )
+    # file poses carry 9-decimal quantization; the clamped-trace acos
+    # amplifies it near identity rotations
+    assert abs(t_file - t_mem) < 1e-6
+    assert abs(r_file - r_mem) < 5e-3
+    # CLI runs end-to-end
+    r = subprocess.run(
+        [_sys.executable, str(root / "examples" / "evaluate.py"), str(out)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "camera initial" in r.stdout
