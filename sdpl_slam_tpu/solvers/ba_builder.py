@@ -571,10 +571,8 @@ def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
     with _x64_scope(dtype == jnp.float64):
         graph = _cast_graph(graph, dtype)
         if fused:
-            state, cost, _ = bb.run_ba_fused(
-                graph, w, max_iters=max_iters, gain_threshold=gain,
-            )
-            cost = float(cost)
+            state, cost = _run_fused(graph, w, cfg, map_state.n_frames,
+                                     max_iters, gain)
         else:
             state, cost = bb.run_ba(
                 graph, w, max_iters=max_iters, gain_threshold=gain,
@@ -582,6 +580,42 @@ def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
             )
     _write_back(map_state, state, meta, refined=True)
     return cost
+
+
+def _run_fused(graph, w, cfg, n_frames, max_iters, gain):
+    """Fused LM; dense-Schur exact steps when the reduced (pose+motion)
+    system fits MAX_DENSE_DOF, matrix-free CG otherwise."""
+    from . import schur_ba
+
+    F = int(graph.cam_T0.shape[0])
+    M = int(graph.mot_T0.shape[0])
+    use_schur = (
+        (cfg.ba_schur if cfg else True)
+        and 6 * (F + M) <= schur_ba.MAX_DENSE_DOF
+    )
+    if use_schur:
+        def padded_chains(n_verts, links):
+            ch = schur_ba.chains_from_links(n_verts, links, F)
+            nc = _bucket(len(ch))          # stable shape across windows
+            out = np.full((nc, F), -1, np.int32)
+            out[: len(ch)] = ch
+            return out
+
+        xd_chain = padded_chains(
+            int(graph.Xd0.shape[0]), np.asarray(graph.tern_prev)
+        )
+        ld_chain = padded_chains(
+            int(graph.Ld_U0.shape[0]), np.asarray(graph.ltern_prev)
+        )
+        state, cost, _ = schur_ba.run_ba_fused_schur(
+            graph, w, jnp.asarray(xd_chain), jnp.asarray(ld_chain),
+            F, M, max_iters=max_iters, gain_threshold=gain,
+        )
+    else:
+        state, cost, _ = bb.run_ba_fused(
+            graph, w, max_iters=max_iters, gain_threshold=gain,
+        )
+    return state, float(cost)
 
 
 def partial_batch_optimization(map_state, K: Intrinsics, window: int,
@@ -614,10 +648,8 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
     with _x64_scope(dtype == jnp.float64):
         graph = _cast_graph(graph, dtype)
         if fused:
-            state, cost, _ = bb.run_ba_fused(
-                graph, w, max_iters=max_iters, gain_threshold=gain,
-            )
-            cost = float(cost)
+            state, cost = _run_fused(graph, w, cfg, f1 - f0, max_iters,
+                                     gain)
         else:
             state, cost = bb.run_ba(
                 graph, w, max_iters=max_iters, gain_threshold=gain,

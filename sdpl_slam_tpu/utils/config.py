@@ -167,6 +167,13 @@ class Settings:
     # window; the trade is a larger one-off compile per shape bucket.
     # f64 windows keep the split path (x64 while_loop is CPU-bound anyway).
     ba_fused: bool = True
+    # dense-Schur direct step for window-scale BA: eliminate every
+    # landmark family exactly (block-diag statics, block-tridiagonal
+    # dynamic chains) and Cholesky-solve the reduced <=~350-dof
+    # (pose+motion) system -- the g2o BlockSolver strategy, one MXU
+    # matmul instead of a 40-stream CG loop per LM iteration.  Applies
+    # when 6*(frames+motions) <= schur_ba.MAX_DENSE_DOF; CG otherwise.
+    ba_schur: bool = True
     run_local_ba: bool = True         # bLocalBatch, Tracking.cc:1793
     run_global_ba: Optional[bool] = None  # None = KITTI only (Tracking.cc:1870)
 
