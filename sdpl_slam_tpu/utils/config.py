@@ -173,7 +173,11 @@ class Settings:
     # (pose+motion) system -- the g2o BlockSolver strategy, one MXU
     # matmul instead of a 40-stream CG loop per LM iteration.  Applies
     # when 6*(frames+motions) <= schur_ba.MAX_DENSE_DOF; CG otherwise.
-    ba_schur: bool = True
+    # Default OFF pending the on-chip measurement: the dense Schur is
+    # MXU-matmul-bound (fast on TPU, slow on CPU hosts); the CG path is
+    # edge-stream-bound.  Exactness is gated either way
+    # (tests/test_schur_ba.py).
+    ba_schur: bool = False
     run_local_ba: bool = True         # bLocalBatch, Tracking.cc:1793
     run_global_ba: Optional[bool] = None  # None = KITTI only (Tracking.cc:1870)
 
