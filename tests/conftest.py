@@ -22,17 +22,13 @@ import jax  # noqa: E402
 # SDPL_TEST_PLATFORM=tpu to keep the real backend.
 if os.environ.get("SDPL_TEST_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
-    # persistent XLA compile cache for the CPU mesh: compiles dominate
-    # suite wall time, and repeat runs on the same machine reuse every
-    # executable (same-host ISA, so the cross-machine SIGILL caveat from
-    # the package root does not apply).
-    _cache = os.path.join(os.path.dirname(__file__), ".jax_cache_cpu")
-    try:
-        os.makedirs(_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    # NOTE: do NOT enable the persistent XLA compile cache here.  It was
+    # tried for suite wall time: the CPU AOT loader records tuning
+    # pseudo-features (prefer-no-scatter/gather) that the runtime host
+    # check does not report, and cache READS can hard-abort the process
+    # (observed: Fatal Python error: Aborted inside
+    # compilation_cache.get_executable_and_time) -- the same risk the
+    # package root documents for SDPL_JAX_CACHE.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
