@@ -57,3 +57,14 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jit_caches_per_module():
+    """Release compiled executables after each test module.  A single
+    long-lived process accumulating every module's XLA:CPU programs has
+    been observed to destabilize late compiles (segfault inside
+    backend_compile_and_load on the largest program of the run);
+    per-module cache clearing keeps compiler state bounded."""
+    yield
+    jax.clear_caches()

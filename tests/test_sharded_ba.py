@@ -213,45 +213,47 @@ def test_sharded_ba_scale():
     execute.  (Wall-clock on VIRTUAL cpu devices sharing one physical
     core measures overhead, not speedup -- recorded for regression
     tracking only.)"""
-    if len(jax.devices()) < 8:
-        pytest.skip("needs an 8-device mesh (virtual CPU devices)")
-    import time
-    import jax.numpy as jnp
+    # Runs in a FRESH interpreter: the run's two largest XLA:CPU
+    # compiles have been observed to segfault the compiler when issued
+    # late in a process that already holds ~130 tests' programs;
+    # subprocess isolation keeps the scale check deterministic.
+    import subprocess
+    import sys
 
-    g, n_edges = _synth_big_graph(F=60, stat_per_frame=120,
-                                  dyn_per_frame=120)
-    assert n_edges >= 40_000, n_edges
-    w = bb.BAWeights()
-    state = sharded_ba.state_from_graph(g)
-    lam = jnp.asarray(1e-4, jnp.float32)
-
-    t0 = time.perf_counter()
-    d1, cost1, _ = jax.jit(
-        bb.ba_gn_step, static_argnames=("cg_iters", "w")
-    )(g, state, w, lam, cg_iters=5)
-    jax.block_until_ready(d1)
-    t_single = time.perf_counter() - t0
-
-    mesh = sharded_ba.make_mesh(8)
-    g_sh = sharded_ba.shard_graph_partitioned(g, mesh)
-    state_sh = sharded_ba.state_from_graph(g_sh)
-    t0 = time.perf_counter()
-    d2, cost2, _ = sharded_ba.sharded_ba_step(
-        g_sh, state_sh, w, lam, mesh, cg_iters=5
+    body = (
+        "import os;"
+        "os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')"
+        "+' --xla_force_host_platform_device_count=8';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import numpy as np, jax.numpy as jnp, sys;"
+        f"sys.path.insert(0, {str(__import__('pathlib').Path(__file__).parent)!r});"
+        "from test_sharded_ba import _synth_big_graph;"
+        "from sdpl_slam_tpu.parallel import sharded_ba;"
+        "from sdpl_slam_tpu.solvers import batch_ba as bb;"
+        "g, n_edges = _synth_big_graph(F=60, stat_per_frame=120,"
+        " dyn_per_frame=120);"
+        "assert n_edges >= 40_000, n_edges;"
+        "w = bb.BAWeights();"
+        "state = sharded_ba.state_from_graph(g);"
+        "lam = jnp.asarray(1e-4, jnp.float32);"
+        "d1, cost1, _ = jax.jit(bb.ba_gn_step,"
+        " static_argnames=('cg_iters','w'))(g, state, w, lam, cg_iters=5);"
+        "mesh = sharded_ba.make_mesh(8);"
+        "g_sh = sharded_ba.shard_graph_partitioned(g, mesh);"
+        "state_sh = sharded_ba.state_from_graph(g_sh);"
+        "d2, cost2, _ = sharded_ba.sharded_ba_step("
+        "g_sh, state_sh, w, lam, mesh, cg_iters=5);"
+        "np.testing.assert_allclose(float(cost1), float(cost2), rtol=1e-4);"
+        "[np.testing.assert_allclose(np.asarray(d1[k]), np.asarray(d2[k]),"
+        " atol=2e-3, err_msg=k) for k in ('cam','mot','xs','xd')];"
+        "print('SCALE-OK', n_edges)"
     )
-    jax.block_until_ready(d2)
-    t_mesh = time.perf_counter() - t0
-    print(f"scale step: single {t_single:.2f}s, 8-dev mesh {t_mesh:.2f}s "
-          f"({n_edges} edges)")
-
-    np.testing.assert_allclose(float(cost1), float(cost2), rtol=1e-4)
-    # edge permutation changes f32 reduction order; compare with
-    # tolerances scaled to the graph
-    for k in ("cam", "mot", "xs", "xd"):
-        np.testing.assert_allclose(
-            np.asarray(d1[k]), np.asarray(d2[k]), atol=2e-3,
-            err_msg=k,
-        )
+    r = subprocess.run(
+        [sys.executable, "-c", body], capture_output=True, text=True,
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "SCALE-OK" in r.stdout, r.stdout
 
 
 def test_partitioned_variable_memory_shrinks():
