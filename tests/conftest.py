@@ -59,12 +59,22 @@ def rng():
     return np.random.default_rng(0)
 
 
+# Modules whose jit programs are both LARGE and module-local (the BA
+# solvers and the line-detector sweeps).  A single long-lived process
+# accumulating every module's XLA:CPU programs has been observed to
+# destabilize late compiles (segfault inside backend_compile_and_load on
+# the largest program of the run); purging after these modules keeps
+# compiler state bounded WITHOUT evicting the tracking/detector programs
+# shared by the many System-loop modules (a blanket per-module clear
+# added ~7 min of recompiles).
+_HEAVY_MODULES = {
+    "test_batch_ba", "test_schur_ba", "test_sharded_ba",
+    "test_lines", "test_line_recall", "test_lsd_oracle",
+}
+
+
 @pytest.fixture(autouse=True, scope="module")
-def _clear_jit_caches_per_module():
-    """Release compiled executables after each test module.  A single
-    long-lived process accumulating every module's XLA:CPU programs has
-    been observed to destabilize late compiles (segfault inside
-    backend_compile_and_load on the largest program of the run);
-    per-module cache clearing keeps compiler state bounded."""
+def _clear_jit_caches_after_heavy(request):
     yield
-    jax.clear_caches()
+    if request.module.__name__ in _HEAVY_MODULES:
+        jax.clear_caches()
