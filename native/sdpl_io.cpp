@@ -131,7 +131,9 @@ int32_t sdpl_read_png(const char* path, uint8_t* out, int64_t cap_bytes,
     return -1;
   }
   int32_t rc = 0;
-  png_bytep* rows = nullptr;
+  // volatile: modified between setjmp and a potential longjmp from inside
+  // libpng (corrupt PNG body) — without it the error-branch read is UB.
+  png_bytep* volatile rows = nullptr;
   if (setjmp(png_jmpbuf(png))) {
     delete[] rows;
     png_destroy_read_struct(&png, &info, nullptr);

@@ -84,14 +84,17 @@ def read_image_gray(path: str | Path) -> np.ndarray:
     if native.available() and str(path).lower().endswith(".png"):
         im = native.read_png(str(path))
         if im is not None:
-            if im.ndim == 3:
+            if im.ndim == 3 and im.shape[-1] >= 3:
                 # PNG channel order is RGB; cvtColor luma weights
                 wts = np.array([0.299, 0.587, 0.114], np.float32)
                 im = (
                     im[..., :3].astype(np.float32) @ wts
-                ).round().astype(np.uint8)
-            elif im.dtype == np.uint16:
-                im = (im >> 8).astype(np.uint8)
+                ).round().astype(im.dtype)
+            elif im.ndim == 3:
+                # gray+alpha (color type 4): luma is channel 0
+                im = np.ascontiguousarray(im[..., 0])
+            # 16-bit grayscale: return as-is, matching the cv2
+            # IMREAD_UNCHANGED fallback below (one convention, both paths)
             return im
     import cv2
 

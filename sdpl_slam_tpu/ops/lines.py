@@ -740,12 +740,14 @@ def detect_lines(img: jnp.ndarray,
     )
     merged = _merge_all(cat.uv4, cat.valid, cfg)
     if cfg.n_features > 0:
-        # lsd_nfeatures cap: keep the n_features longest valid detections
-        # (the reference truncates the response-sorted list)
+        # lsd_nfeatures cap: keep exactly the n_features longest valid
+        # detections (the reference truncates the response-sorted list;
+        # top_k's index tie-break truncates ties rather than keeping all)
         ln = jnp.where(merged.valid, merged.length, -1.0)
-        kth = jnp.sort(ln)[::-1][jnp.minimum(cfg.n_features, ln.shape[0]) - 1]
-        keep = merged.valid & (ln >= jnp.maximum(kth, 0.0))
-        merged = merged._replace(valid=keep)
+        n_keep = min(int(cfg.n_features), int(ln.shape[0]))
+        _, top_idx = jax.lax.top_k(ln, n_keep)
+        keep = jnp.zeros(ln.shape[0], bool).at[top_idx].set(True)
+        merged = merged._replace(valid=keep & merged.valid)
     return merged
 
 

@@ -2,18 +2,27 @@
 Hamming matching as a +/-1 matmul on the MXU.
 
 Parity notes (vs /root/reference/src/ORBextractor.cc):
-* Orientation is the intensity-centroid angle over a circular patch
-  (``IC_Angle``, ORBextractor.cc:66-95) -- replicated exactly.
-* The 256 BRIEF point pairs: the reference embeds OpenCV's learned
-  ``bit_pattern_31_`` table (ORBextractor.cc:139-396).  Descriptors are a
-  DEAD output in this pipeline -- matching is optical-flow-driven, the
-  reference never matches descriptors (SURVEY.md section 2.1) -- so this
-  module uses a deterministic seeded Gaussian pattern (the original BRIEF
-  construction) instead of copying the table; any fixed pattern yields the
-  same downstream behavior.
-* Matching (for the resurrected-retrieval use case): Hamming distance via
-  the +/-1 encoding:  ham = (256 - A B^T) / 2  -- one f32 matmul on the
-  MXU instead of XOR+popcount loops.
+* Orientation is the intensity-centroid angle over the umax-bounded
+  circular patch (``IC_Angle``, ORBextractor.cc:66-95; umax setup
+  :443-457) -- the per-row integer column bounds are replicated exactly.
+* The 256 BRIEF point pairs are OpenCV's learned ``bit_pattern_31_``
+  table (embedded by the reference at ORBextractor.cc:139-396; a
+  published constant, reproduced in :mod:`.orb_pattern`).  Bit i is
+  ``I(rot(p1)) < I(rot(p2))`` with the reference's exact rotation
+  convention (``computeOrbDescriptor``, ORBextractor.cc:97-137):
+  col = round(x cos - y sin), row = round(x sin + y cos); round is
+  half-to-even, matching cvRound.  Descriptors remain a DEAD output in
+  this pipeline -- matching is optical-flow-driven (SURVEY.md section
+  2.1) -- but they are now bit-identical to the reference formula given
+  the same smoothed intensities and angle (tests/test_orb_pattern.py).
+* The pre-smoothing is a 7x7 Gaussian, sigma 2, reflect-101 borders,
+  like the reference's GaussianBlur (ORBextractor.cc:1105); float
+  arithmetic here vs OpenCV's fixed-point, so smoothed intensities can
+  differ by <1 LSB on real images -- the formula-level test injects the
+  smoothed patch directly.
+* Matching (for the resurrected-retrieval use case): Hamming distance
+  via the +/-1 encoding:  ham = (256 - A B^T) / 2  -- one f32 matmul on
+  the MXU instead of XOR+popcount loops.
 """
 
 from __future__ import annotations
@@ -24,38 +33,66 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .orb_pattern import BIT_PATTERN_31
+
 PATCH = 31
 HALF = PATCH // 2
 N_BITS = 256
+# the learned pattern's max point radius is ~18.38 (rotations reach
+# offset 18), so descriptor sampling needs an extended patch
+R_EXT = 18
+PATCH_EXT = 2 * R_EXT + 1
 
 
-@functools.lru_cache()
-def _pattern() -> np.ndarray:
-    """(256, 4) int8 offsets (x1, y1, x2, y2), BRIEF-style Gaussian
-    (sigma = patch/5), clipped to the patch."""
-    rng = np.random.default_rng(31)
-    p = rng.normal(0.0, PATCH / 5.0, size=(N_BITS, 4))
-    return np.clip(np.round(p), -HALF + 2, HALF - 2).astype(np.int8)
-
-
-def _gather_patches(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """(N, PATCH, PATCH) patches centred at integral uv (clamped)."""
+def _gather_patches(img: jnp.ndarray, uv: jnp.ndarray,
+                    radius: int = HALF) -> jnp.ndarray:
+    """(N, 2r+1, 2r+1) patches centred at integral uv (clamped)."""
     h, w = img.shape
-    pad = HALF + 1
+    side = 2 * radius + 1
+    pad = radius + 1
     p = jnp.pad(img.astype(jnp.float32), pad, mode="edge")
-    base_u = jnp.clip(uv[:, 0].astype(jnp.int32), 0, w - 1) + pad - HALF
-    base_v = jnp.clip(uv[:, 1].astype(jnp.int32), 0, h - 1) + pad - HALF
+    # reference centers at cvRound(pt) (ORBextractor.cc:70,105)
+    base_u = jnp.clip(
+        jnp.round(uv[:, 0]).astype(jnp.int32), 0, w - 1) + pad - radius
+    base_v = jnp.clip(
+        jnp.round(uv[:, 1]).astype(jnp.int32), 0, h - 1) + pad - radius
 
     def one(bu, bv):
-        return jax.lax.dynamic_slice(p, (bv, bu), (PATCH, PATCH))
+        return jax.lax.dynamic_slice(p, (bv, bu), (side, side))
 
     return jax.vmap(one)(base_u, base_v)
 
 
 @functools.lru_cache()
+def _umax() -> np.ndarray:
+    """Integer circular-patch column bounds, exactly as the reference
+    builds them (ORBextractor.cc:443-457): rows 0..vmax from the circle
+    equation with cvRound, rows vmin..HALF forced symmetric."""
+    umax = np.zeros(HALF + 2, np.int64)
+    vmax = int(np.floor(HALF * np.sqrt(2.0) / 2 + 1))
+    vmin = int(np.ceil(HALF * np.sqrt(2.0) / 2))
+    hp2 = float(HALF * HALF)
+    for v in range(vmax + 1):
+        # cvRound = round-half-to-even; sqrt values here are never .5
+        umax[v] = int(np.rint(np.sqrt(hp2 - v * v)))
+    v0 = 0
+    for v in range(HALF, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    # for HALF=15 this is the canonical ORB table
+    # [15,15,15,15,14,14,14,13,13,12,11,10,9,8,6,3]
+    return umax[: HALF + 1]
+
+
+@functools.lru_cache()
 def _circular_mask() -> np.ndarray:
+    """(31, 31) {0,1} mask of the IC_Angle summation region: row v
+    (|v| <= 15) spans columns |u| <= umax[|v|]."""
+    um = _umax()
     ys, xs = np.mgrid[-HALF:HALF + 1, -HALF:HALF + 1]
-    return (xs * xs + ys * ys <= HALF * HALF).astype(np.float32)
+    return (np.abs(xs) <= um[np.abs(ys)]).astype(np.float32)
 
 
 def ic_angle(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
@@ -69,39 +106,60 @@ def ic_angle(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
+def descriptor_bits_at_angle(patches: jnp.ndarray,
+                             ang: jnp.ndarray) -> jnp.ndarray:
+    """(N, 37, 37) smoothed patches + (N,) angles (radians) -> (N, 256)
+    uint8 bits, the exact ``computeOrbDescriptor`` formula
+    (ORBextractor.cc:97-137): for each learned pair, sample at
+    (row + round(x sin + y cos), col + round(x cos - y sin)) and set the
+    bit when the first intensity is strictly below the second."""
+    pat = jnp.asarray(BIT_PATTERN_31, jnp.float32)        # (256, 4)
+    c, s = jnp.cos(ang), jnp.sin(ang)                     # (N,)
+
+    def rot(x, y):
+        # reference: col offset = x*a - y*b, row offset = x*b + y*a
+        xr = c[:, None] * x[None] - s[:, None] * y[None]
+        yr = s[:, None] * x[None] + c[:, None] * y[None]
+        xi = jnp.round(xr).astype(jnp.int32) + R_EXT
+        yi = jnp.round(yr).astype(jnp.int32) + R_EXT
+        return yi * PATCH_EXT + xi
+
+    flat = patches.reshape(patches.shape[0], -1)
+    v1 = jnp.take_along_axis(flat, rot(pat[:, 0], pat[:, 1]), axis=1)
+    v2 = jnp.take_along_axis(flat, rot(pat[:, 2], pat[:, 3]), axis=1)
+    return (v1 < v2).astype(jnp.uint8)
+
+
+@functools.lru_cache()
+def _gauss7() -> np.ndarray:
+    """OpenCV getGaussianKernel(7, 2): normalized 7-tap Gaussian."""
+    k = np.exp(-((np.arange(7) - 3.0) ** 2) / (2.0 * 2.0 ** 2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _gaussian_blur_7x7(img: jnp.ndarray) -> jnp.ndarray:
+    """Separable 7x7 sigma-2 Gaussian with reflect-101 borders, like the
+    reference's GaussianBlur(Size(7,7), 2, 2, BORDER_REFLECT_101)
+    (ORBextractor.cc:1105)."""
+    k = jnp.asarray(_gauss7())
+    p = jnp.pad(img.astype(jnp.float32), 3, mode="reflect")
+    # horizontal then vertical 7-tap
+    h = sum(p[:, i:i + img.shape[1]] * k[i] for i in range(7))
+    v = sum(h[i:i + img.shape[0], :] * k[i] for i in range(7))
+    return v
+
+
 @jax.jit
 def brief_descriptors(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """256-bit rotated-BRIEF descriptors -> (N, 256) uint8 bits.
 
-    The image should be pre-smoothed (the reference GaussianBlurs each
-    pyramid level, ORBextractor.cc:1105); a 3x3 box blur is applied here.
-    """
-    img = img.astype(jnp.float32)
-    p = jnp.pad(img, 1, mode="edge")
-    img_s = (
-        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
-        + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
-        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
-    ) / 9.0
+    Pipeline per the reference: Gaussian-smooth the level image
+    (ORBextractor.cc:1105), IC-angle orientation, then the learned
+    bit_pattern_31_ comparisons under the rotated sampling grid."""
+    img_s = _gaussian_blur_7x7(img)
     ang = ic_angle(img_s, uv)
-    patches = _gather_patches(img_s, uv)               # (N, 31, 31)
-    pat = jnp.asarray(_pattern(), jnp.float32)          # (256, 4)
-    c, s = jnp.cos(ang), jnp.sin(ang)                   # (N,)
-
-    def rot(x, y):
-        # rotated offsets per keypoint: (N, 256)
-        xr = c[:, None] * x[None] - s[:, None] * y[None]
-        yr = s[:, None] * x[None] + c[:, None] * y[None]
-        xi = jnp.clip(jnp.round(xr).astype(jnp.int32) + HALF, 0, PATCH - 1)
-        yi = jnp.clip(jnp.round(yr).astype(jnp.int32) + HALF, 0, PATCH - 1)
-        return yi * PATCH + xi
-
-    flat = patches.reshape(patches.shape[0], -1)
-    i1 = rot(pat[:, 0], pat[:, 1])
-    i2 = rot(pat[:, 2], pat[:, 3])
-    v1 = jnp.take_along_axis(flat, i1, axis=1)
-    v2 = jnp.take_along_axis(flat, i2, axis=1)
-    return (v1 < v2).astype(jnp.uint8)
+    patches = _gather_patches(img_s, uv, radius=R_EXT)    # (N, 37, 37)
+    return descriptor_bits_at_angle(patches, ang)
 
 
 @jax.jit

@@ -594,18 +594,20 @@ def _run_fused(graph, w, cfg, n_frames, max_iters, gain):
         and 6 * (F + M) <= schur_ba.MAX_DENSE_DOF
     )
     if use_schur:
-        def padded_chains(n_verts, links):
-            ch = schur_ba.chains_from_links(n_verts, links, F)
+        def padded_chains(n_verts, links, valid):
+            ch = schur_ba.chains_from_links(n_verts, links, F, valid=valid)
             nc = _bucket(len(ch))          # stable shape across windows
             out = np.full((nc, F), -1, np.int32)
             out[: len(ch)] = ch
             return out
 
         xd_chain = padded_chains(
-            int(graph.Xd0.shape[0]), np.asarray(graph.tern_prev)
+            int(graph.Xd0.shape[0]), np.asarray(graph.tern_prev),
+            np.asarray(graph.tern_valid),
         )
         ld_chain = padded_chains(
-            int(graph.Ld_U0.shape[0]), np.asarray(graph.ltern_prev)
+            int(graph.Ld_U0.shape[0]), np.asarray(graph.ltern_prev),
+            np.asarray(graph.ltern_valid),
         )
         state, cost, _ = schur_ba.run_ba_fused_schur(
             graph, w, jnp.asarray(xd_chain), jnp.asarray(ld_chain),

@@ -61,21 +61,37 @@ class SchurMeta(NamedTuple):
     n_motions: int
 
 
-def chains_from_links(n_verts: int, link_prev: np.ndarray, k_max: int):
+def chains_from_links(n_verts: int, link_prev: np.ndarray, k_max: int,
+                      valid: np.ndarray | None = None):
     """Maximal runs of consecutive vertex ids connected by ternary
     links (link at i means blocks (i, i+1) are coupled).  Returns an
-    (NC, k_max) int32 matrix, -1 padded."""
+    (NC, k_max) int32 matrix, -1 padded.
+
+    ``valid`` masks out padding entries of ``link_prev`` (the graph's
+    ``tern_valid``); without it a pad zero would create a spurious 0->1
+    link.  Real runs are per-tracklet consecutive vertices — one vertex
+    per window frame — so a run can never exceed ``k_max`` = F; that is
+    asserted, because silently splitting a longer run would drop its
+    coupling block and make the "exact direct step" claim false."""
     n = max(int(n_verts), 0)
     if n == 0:
         return np.full((1, k_max), -1, np.int32)
     has_link = np.zeros(n, bool)
     lp = np.asarray(link_prev, np.int64)
+    if valid is not None:
+        lp = lp[np.asarray(valid, bool)[: len(lp)]]
     lp = lp[(lp >= 0) & (lp < n - 1)]
     has_link[lp] = True
     starts = np.nonzero(
         np.concatenate([[True], ~has_link[:-1]])
     )[0]
     ends = np.concatenate([starts[1:], [n]])
+    run_max = int((ends - starts).max())
+    if valid is not None and run_max > k_max:
+        raise AssertionError(
+            f"ternary chain of length {run_max} exceeds window size "
+            f"{k_max}; graph construction invariant violated"
+        )
     rows = []
     for s, e in zip(starts, ends):
         i = s

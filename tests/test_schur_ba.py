@@ -89,10 +89,12 @@ def window_graph():
     F = m.n_frames
     M = int(graph.mot_T0.shape[0])
     xd_chain = schur_ba.chains_from_links(
-        int(graph.Xd0.shape[0]), np.asarray(graph.tern_prev), F
+        int(graph.Xd0.shape[0]), np.asarray(graph.tern_prev), F,
+        valid=np.asarray(graph.tern_valid),
     )
     ld_chain = schur_ba.chains_from_links(
-        int(graph.Ld_U0.shape[0]), np.asarray(graph.ltern_prev), F
+        int(graph.Ld_U0.shape[0]), np.asarray(graph.ltern_prev), F,
+        valid=np.asarray(graph.ltern_valid),
     )
     w = ba_builder._weights_from_cfg(settings)
     return graph, w, xd_chain, ld_chain, F, M
