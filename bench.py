@@ -8,6 +8,19 @@ the 5-slot stage breakdown matching the reference's timing contract
 time + tracking+LBA throughput at the reference cadence (window 20 /
 overlap 4, Optimizer.cc:1235,2462).
 
+Robustness (VERDICT r3 item 1): the tunneled TPU backend has documented
+hour-scale outages, so startup polls backend availability in a clean
+SUBPROCESS (a failed in-process init is cached by JAX) with exponential
+backoff for up to 10 minutes, and every exit path — including backend
+failure and mid-run exceptions — still prints the JSON line (value 0 +
+"error" diagnostics on failure).
+
+Headline number (VERDICT r3 item 2): the MEDIAN of three full passes'
+median frame periods — the steady-state rate, not a best-of lottery.
+Pass 1 pays every compile; passes 2-3 reuse all programs, so the median
+pass reflects warm steady state while still sampling the link's
+minutes-scale service jitter twice.
+
 The reference binary cannot run in this environment (it needs OpenCV 3.4
 C++ shared libraries; zero egress), so the baseline is the documented
 estimate in BASELINE.md: 2.0 FPS (500 ms/frame) for KITTI-scale
@@ -23,22 +36,80 @@ frame, nothing injected.
 """
 
 import json
+import subprocess
 import sys
 import time
+import traceback
 from pathlib import Path
 
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent / "tests"))
 
+import os
+
 BASELINE_REF_FPS = 2.0
 RESULT_LANDING_MS = 40.0   # measured tunnel d2h landing (BASELINE.md)
+# bounded wait for the tunneled backend (env-overridable for testing)
+BACKEND_WAIT_S = float(os.environ.get("SDPL_BENCH_BACKEND_WAIT_S", 600.0))
+N_PASSES = 3
 _T0 = time.time()
 
 
 def _progress(msg):
     print("[bench %6.1fs] %s" % (time.time() - _T0, msg), file=sys.stderr,
           flush=True)
+
+
+def _emit(out):
+    print(json.dumps(out), flush=True)
+
+
+def _fail(error, **extra):
+    out = {
+        "metric": "kitti_scale_tracking_fps_per_chip",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+        "error": str(error)[:2000],
+    }
+    out.update(extra)
+    _emit(out)
+
+
+def wait_for_backend(max_wait_s=BACKEND_WAIT_S):
+    """Poll backend availability in a clean subprocess (an in-process
+    init failure is cached by JAX for the life of the process), with
+    exponential backoff.  Returns (platform, waited_s) or (None, diag)."""
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)));"
+        "print('PLATFORM=' + jax.devices()[0].platform)"
+    )
+    t0 = time.time()
+    delay = 10.0
+    last = ""
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=240,
+            )
+            if r.returncode == 0 and "PLATFORM=" in r.stdout:
+                plat = r.stdout.rsplit("PLATFORM=", 1)[1].strip()
+                return plat, time.time() - t0
+            last = (r.stderr or r.stdout)[-500:]
+        except subprocess.TimeoutExpired:
+            last = "probe subprocess timed out (240 s)"
+        waited = time.time() - t0
+        _progress("backend probe %d failed (%.0fs elapsed): %s"
+                  % (attempt, waited, last.splitlines()[-1] if last else "?"))
+        if waited + delay > max_wait_s:
+            return None, last
+        time.sleep(delay)
+        delay = min(delay * 1.6, 60.0)
 
 
 def _settings(cfg, synth_settings):
@@ -111,7 +182,30 @@ def _device_exec_probe(system, m=10):
     return max((total_ms - RESULT_LANDING_MS) / m, 0.0)
 
 
+def _non_lba_times(times, settings, n, warmup):
+    stride = settings.window_size - settings.overlap_size
+    # the chained driver runs frame f's BA trigger at the START of frame
+    # f+1 (the refined pose feeds that frame's solve), so the wall-time
+    # spike lands on trigger+1
+    lba_frames = {
+        f + 1 for f in range(n)
+        if f >= settings.window_size - 1
+        and (f - settings.overlap_size + 1) % stride == 0
+    }
+    return [
+        dt for t, dt in enumerate(times, start=warmup)
+        if t not in lba_frames
+    ]
+
+
 def main():
+    plat, info = wait_for_backend()
+    if plat is None:
+        _fail("TPU backend unavailable after %.0f s of polling"
+              % BACKEND_WAIT_S, backend_diag=str(info)[-500:])
+        return
+    _progress("backend up: %s (waited %.0fs)" % (plat, info))
+
     from synthetic import SynthConfig, SynthSequence, synth_settings
     from sdpl_slam_tpu.utils import metrics
 
@@ -121,9 +215,8 @@ def main():
     # LBA at frames 19/35/51: the first window pays the fused-program
     # compile, the second usually recompiles once as tracks grow out of
     # the first window's shape buckets, the third runs warm via the
-    # bucket ratchet).  ONE run serves every metric: the headline
-    # tracking FPS is the median over non-LBA frames, the LBA numbers
-    # come from the same map.
+    # bucket ratchet).  Each pass serves every metric: the headline
+    # tracking FPS is the median over non-LBA frames of the MEDIAN pass.
     cfg = SynthConfig(
         n_frames=54, n_objects=2, width=1242, height=375,
         fx=721.5377, fy=721.5377, cx=609.5593, cy=172.854,
@@ -134,46 +227,32 @@ def main():
     settings.run_local_ba = True
     settings.window_size, settings.overlap_size = 20, 4
     n = seq.n_frames - 1
-    # two passes: the tunneled link's service quality varies on a
-    # minutes scale; pass 2 reuses every compiled program (and the
-    # bucket-ratchet-matched BA executables), so it costs ~30 s and the
-    # better pass reflects the framework's steady-state capability
-    best = None
-    for p in range(2):
+    warmup = 4
+
+    passes = []               # (median_ms, times, system)
+    for p in range(N_PASSES):
         _progress("tracking pass %d (%d frames)" % (p, n))
         system, times = _run_tracking(seq, settings, n)
         system.tracker.flush()        # drain pending device work
-        _progress("pass %d done; lba windows: %s" %
-                  (p, [round(x) for x in system.map.lba_times]))
-        if best is None or np.median(times) < np.median(best[1]):
-            best = (system, times)
-    system, times = best
+        track_times = _non_lba_times(times, settings, n, warmup)
+        med_ms = float(np.median(track_times)) * 1e3
+        _progress("pass %d done: median %.1f ms; lba windows: %s" %
+                  (p, med_ms, [round(x) for x in system.map.lba_times]))
+        passes.append((med_ms, times, system))
 
-    # median frame period over non-LBA frames: the tunneled link has
-    # multi-second service jitter spikes unrelated to the framework; the
-    # median is the steady-state rate
-    warmup = 4
-    stride = settings.window_size - settings.overlap_size
-    # the chained driver runs frame f's BA trigger at the START of frame
-    # f+1 (the refined pose feeds that frame's solve), so the wall-time
-    # spike lands on trigger+1
-    lba_frames = {
-        f + 1 for f in range(n)
-        if f >= settings.window_size - 1
-        and (f - settings.overlap_size + 1) % stride == 0
-    }
-    track_times = [
-        dt for t, dt in enumerate(times, start=warmup)
-        if t not in lba_frames
-    ]
-    med_ms = float(np.median(track_times)) * 1e3
+    # the median pass is the headline (steady state, not best-of)
+    order = sorted(range(len(passes)), key=lambda i: passes[i][0])
+    mid = order[len(order) // 2]
+    med_ms, times, system = passes[mid]
     fps = 1e3 / med_ms
 
-    # sanity: the pipeline must actually be tracking
+    # sanity: the pipeline must actually be tracking WELL (tightened in
+    # r4 per the parity measurements: chained at 0.2 px flow noise runs
+    # ~0.6 mm / 0.042 deg RPE on this sequence — tests/test_chained_kitti)
     t_err, r_err = metrics.camera_rpe(
         system.map.camera_poses, system.map.camera_poses_gt
     )
-    ok = t_err < 0.05 and r_err < 0.3
+    ok = t_err < 0.005 and r_err < 0.1
 
     # ---- utilization ----
     _progress("exec probe")
@@ -193,7 +272,15 @@ def main():
     # ---- local BA metrics from the same run ----
     lba_ms = None
     track_lba_fps = None
+    # first-window cost comes from pass 0 (the only pass that compiles);
+    # the background precompile (ba_builder.maybe_precompile_partial_async)
+    # should have hidden most of the fused-program compile
+    lba_first = None
+    lbas0 = list(passes[0][2].map.lba_times)
+    if lbas0:
+        lba_first = round(float(lbas0[0]), 1)
     lbas = list(system.map.lba_times)
+    stride = settings.window_size - settings.overlap_size
     if lbas:
         lba_ms = round(float(min(lbas)), 1)
         # throughput over the steady-state stretch: frames after the
@@ -210,6 +297,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round((fps if ok else 0.0) / BASELINE_REF_FPS, 3),
         "median_frame_ms": round(med_ms, 1),
+        "pass_median_ms": [round(p[0], 1) for p in passes],
         "device_exec_ms_per_frame": round(exec_ms, 1),
         "device_busy_frac": round(busy, 3),
         "stage_ms": stage_ms,
@@ -220,8 +308,14 @@ def main():
         out["lba_warm_window_ms"] = lba_ms
         if track_lba_fps is not None:
             out["tracking_plus_lba_fps"] = track_lba_fps
-    print(json.dumps(out))
+    if lba_first is not None:
+        out["lba_first_window_ms"] = lba_first
+    _emit(out)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:             # always print the JSON line
+        traceback.print_exc()
+        _fail("%s: %s" % (type(e).__name__, e))

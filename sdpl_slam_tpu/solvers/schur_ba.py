@@ -328,10 +328,19 @@ def dense_schur_step(graph: bb.BAGraph, state: bb.BAState, w: bb.BAWeights,
         rhs = rhs - jnp.einsum("pdn,pd->n", Bt[f], sol[:, :, NDOF],
                                precision=_HI)
 
-    L = jnp.linalg.cholesky(
-        S + 1e-8 * jnp.eye(NDOF, dtype=dt)
+    # Cholesky is the fast path, but with a large-info prior (1e5/1e7)
+    # f32 cancellation in the elimination can leave S slightly
+    # indefinite -> NaN factor -> a NaN step that burns an LM iteration
+    # as a rejection.  Guard: symmetrize, factor, and fall back to a
+    # general LU solve when the factor is NaN.
+    S_d = 0.5 * (S + S.T) + 1e-8 * jnp.eye(NDOF, dtype=dt)
+    L = jnp.linalg.cholesky(S_d)
+    d_chol = jax.scipy.linalg.cho_solve((L, True), rhs)
+    d_cm = jax.lax.cond(
+        jnp.all(jnp.isfinite(d_chol)),
+        lambda: d_chol,
+        lambda: jnp.linalg.solve(S_d, rhs),
     )
-    d_cm = jax.scipy.linalg.cho_solve((L, True), rhs)
 
     # landmark back-substitution: d_L = D^{-1}(bL - Bt d_cm)
     delta = {
