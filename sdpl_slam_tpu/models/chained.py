@@ -694,6 +694,11 @@ class ChainedDriver(ResidentDriver):
         if self._lba_trigger(f_id - 1):
             self.drain_all()
             self._run_partial_ba()
+        else:
+            from ..solvers import ba_builder
+            ba_builder.maybe_precompile_partial_async(
+                tr.map, tr.K, cfg, use_lines=cfg.use_lines
+            )
 
         _mark("dispatch_det")
         # ---- hard-LAG drain: base must be exactly the provenance

@@ -1576,6 +1576,11 @@ class ResidentDriver:
         if self._lba_trigger(f_id - 1):
             self.drain_all()
             self._run_partial_ba()
+        else:
+            from ..solvers import ba_builder
+            ba_builder.maybe_precompile_partial_async(
+                tr.map, tr.K, cfg, use_lines=cfg.use_lines
+            )
 
         need_fast = cfg.use_sample_fea == 0 and point_detections is None
         need_lines = line_detections is None and cfg.use_lines

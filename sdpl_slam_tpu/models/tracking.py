@@ -1254,6 +1254,13 @@ class Tracking:
             if cfg.run_global_ba is not None
             else cfg.choose_data == KITTI
         ) and f_id == stop_frame
+        if cfg.run_local_ba and not lba_fires:
+            # background-precompile the first window's fused program so
+            # the first trigger doesn't pay the compile on the frame path
+            from ..solvers import ba_builder as _bab
+            _bab.maybe_precompile_partial_async(
+                self.map, self.K, cfg, use_lines=cfg.use_lines
+            )
         if defer_push and not lba_fires and not run_global_fires:
             # the map push (incl. the world-3D recompute) runs after the
             # NEXT frame's dispatch, overlapping its device solve

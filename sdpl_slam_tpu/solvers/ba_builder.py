@@ -18,6 +18,7 @@ compiled executables.
 
 from __future__ import annotations
 
+import threading as _threading
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -29,44 +30,47 @@ from ..ops.geometry import Intrinsics
 from . import batch_ba as bb
 
 
-_RATCHET_CTX = None     # active ratchet store (dict) or None
-_RATCHET_IDX = 0        # per-build call-site counter
+_RATCHET_TLS = _threading.local()   # .ctx: active store (dict) or None
 
 
 class _ratchet:
     """Monotone bucket floors across repeated graph builds.
 
-    ``build_graph`` calls ``_bucket`` in a fixed order; under this
-    context each call site keeps the max bucket it has ever produced
-    (keyed by call index in ``store``).  Successive local-BA windows of
-    a steady-state sequence then land in IDENTICAL shape buckets, so the
-    fused LM program compiled for the first window re-executes warm for
-    every later window instead of recompiling per bucket drift."""
+    ``build_graph`` (and ``_run_fused``'s chain padding) call ``_bucket``
+    in a fixed order; under this context each call site keeps the max
+    bucket it has ever produced (keyed by call index in ``store``).
+    Successive local-BA windows of a steady-state sequence then land in
+    IDENTICAL shape buckets, so the fused LM program compiled for the
+    first window re-executes warm for every later window instead of
+    recompiling per bucket drift.  Thread-local so a background
+    precompile (``precompile_partial``) never races the frame loop."""
 
     def __init__(self, store: dict):
         self.store = store
 
     def __enter__(self):
-        global _RATCHET_CTX, _RATCHET_IDX
-        _RATCHET_CTX = self.store
-        _RATCHET_IDX = 0
+        _RATCHET_TLS.ctx = self.store
+        _RATCHET_TLS.idx = 0
         return self
 
     def __exit__(self, *exc):
-        global _RATCHET_CTX
-        _RATCHET_CTX = None
+        _RATCHET_TLS.ctx = None
         return False
 
 
-def _bucket(n: int, minimum: int = 8) -> int:
-    global _RATCHET_IDX
+def _bucket(n: int, minimum: int = 8, site=None) -> int:
+    """Pow2 bucket with ratchet floors.  ``site`` gives the call an
+    explicit store key; without it the key is the per-context call
+    index (build_graph's 13 fixed-order calls)."""
     m = max(n, minimum)
     b = 1 << (m - 1).bit_length()
-    if _RATCHET_CTX is not None:
-        k = _RATCHET_IDX
-        _RATCHET_IDX += 1
-        b = max(b, _RATCHET_CTX.get(k, 0))
-        _RATCHET_CTX[k] = b
+    ctx = getattr(_RATCHET_TLS, "ctx", None)
+    if ctx is not None:
+        if site is None:
+            site = _RATCHET_TLS.idx
+            _RATCHET_TLS.idx = site + 1
+        b = max(b, ctx.get(site, 0))
+        ctx[site] = b
     return b
 
 
@@ -558,6 +562,7 @@ class _x64_scope:
 def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
                             use_lines: bool = True, verbose: bool = False):
     """FullBatchOptimizationWithLines over the whole sequence."""
+    _join_precompile(map_state)
     w = _weights_from_cfg(cfg)
     graph, meta = build_graph(
         map_state, K, 0, map_state.n_frames,
@@ -567,7 +572,9 @@ def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
     dtype = _ba_dtype(cfg)
     max_iters = cfg.ba_global_iterations if cfg else 300
     gain = cfg.ba_gain_threshold if cfg else 1e-4
-    fused = (cfg.ba_fused if cfg else True) and dtype == jnp.float32
+    # fused works for f64 too (the x64 scope below wraps tracing); the
+    # f64 + ba_schur combination is the exact-step escape hatch
+    fused = cfg.ba_fused if cfg else True
     with _x64_scope(dtype == jnp.float64):
         graph = _cast_graph(graph, dtype)
         if fused:
@@ -594,20 +601,23 @@ def _run_fused(graph, w, cfg, n_frames, max_iters, gain):
         and 6 * (F + M) <= schur_ba.MAX_DENSE_DOF
     )
     if use_schur:
-        def padded_chains(n_verts, links, valid):
+        def padded_chains(n_verts, links, valid, site):
             ch = schur_ba.chains_from_links(n_verts, links, F, valid=valid)
-            nc = _bucket(len(ch))          # stable shape across windows
+            # stable shape across windows; explicit site key so the
+            # floors survive paths that skip build_graph (the dummy
+            # precompile) and persist consistently
+            nc = _bucket(len(ch), site=site)
             out = np.full((nc, F), -1, np.int32)
             out[: len(ch)] = ch
             return out
 
         xd_chain = padded_chains(
             int(graph.Xd0.shape[0]), np.asarray(graph.tern_prev),
-            np.asarray(graph.tern_valid),
+            np.asarray(graph.tern_valid), "xd_nc",
         )
         ld_chain = padded_chains(
             int(graph.Ld_U0.shape[0]), np.asarray(graph.ltern_prev),
-            np.asarray(graph.ltern_valid),
+            np.asarray(graph.ltern_valid), "ld_nc",
         )
         state, cost, _ = schur_ba.run_ba_fused_schur(
             graph, w, jnp.asarray(xd_chain), jnp.asarray(ld_chain),
@@ -620,15 +630,8 @@ def _run_fused(graph, w, cfg, n_frames, max_iters, gain):
     return state, float(cost)
 
 
-def partial_batch_optimization(map_state, K: Intrinsics, window: int,
-                               cfg=None, use_lines: bool = True,
-                               verbose: bool = False):
-    """PartialBatchOptimizationWithLines over the last ``window`` frames."""
-    w = _weights_from_cfg(cfg)
-    f1 = map_state.n_frames
-    f0 = max(0, f1 - window)
-    # windows of the same run share a bucket ratchet (stored on the map)
-    # so later windows re-execute the first window's compiled program
+def _ratchet_store(map_state) -> dict:
+    """The map's shared bucket-ratchet store (created on first use)."""
     store = getattr(map_state, "_ba_bucket_ratchet", None)
     if store is None:
         store = {}
@@ -636,6 +639,38 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
             map_state._ba_bucket_ratchet = store
         except Exception:
             pass
+    return store
+
+
+def _join_precompile(map_state):
+    th = getattr(map_state, "_ba_precompile_thread", None)
+    if th is not None:
+        th.join()
+        try:
+            map_state._ba_precompile_thread = None
+        except Exception:
+            pass
+
+
+def partial_batch_optimization(map_state, K: Intrinsics, window: int,
+                               cfg=None, use_lines: bool = True,
+                               verbose: bool = False):
+    """PartialBatchOptimizationWithLines over the last ``window`` frames."""
+    w = _weights_from_cfg(cfg)
+    f1 = map_state.n_frames
+    f0 = max(0, f1 - window)
+    # a background first-window precompile shares the ratchet store and
+    # the jit caches; it must finish before this build
+    _join_precompile(map_state)
+    # windows of the same run share a bucket ratchet (stored on the map)
+    # so later windows re-execute the first window's compiled program;
+    # the ratchet covers _run_fused too (its chain-count buckets used to
+    # drift between windows, recompiling the schur program)
+    store = _ratchet_store(map_state)
+    dtype = _ba_dtype(cfg)
+    max_iters = cfg.ba_local_iterations if cfg else 100
+    gain = cfg.ba_gain_threshold if cfg else 1e-4
+    fused = cfg.ba_fused if cfg else True
     with _ratchet(store):
         graph, meta = build_graph(
             map_state, K, f0, f1,
@@ -643,22 +678,289 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
             motion_init_identity=False, prior_info=1e7,   # I/1e-7, :1463
             use_lines=use_lines,
         )
-    dtype = _ba_dtype(cfg)
-    max_iters = cfg.ba_local_iterations if cfg else 100
-    gain = cfg.ba_gain_threshold if cfg else 1e-4
-    fused = (cfg.ba_fused if cfg else True) and dtype == jnp.float32
-    with _x64_scope(dtype == jnp.float64):
-        graph = _cast_graph(graph, dtype)
-        if fused:
-            state, cost = _run_fused(graph, w, cfg, f1 - f0, max_iters,
-                                     gain)
-        else:
-            state, cost = bb.run_ba(
-                graph, w, max_iters=max_iters, gain_threshold=gain,
-                verbose=verbose,
-            )
+        with _x64_scope(dtype == jnp.float64):
+            graph = _cast_graph(graph, dtype)
+            if fused:
+                state, cost = _run_fused(graph, w, cfg, f1 - f0,
+                                         max_iters, gain)
+            else:
+                state, cost = bb.run_ba(
+                    graph, w, max_iters=max_iters, gain_threshold=gain,
+                    verbose=verbose,
+                )
     _write_back(map_state, state, meta, refined=False)
     # refined trajectory starts from the locally-refined primary one
     for i in range(f0, f1):
         map_state.camera_poses_rf[i] = map_state.camera_poses[i].copy()
+    if cfg is not None:
+        persist_floors(cfg, store, use_lines=use_lines)
     return cost
+
+
+# ---------------------------------------------------------------------------
+# first-window background precompile (the first local BA used to pay the
+# whole fused-program compile — ~40-48 s over the tunnel — on the frame
+# path; PartialBatchOptimizationWithLines cadence,
+# /root/reference/src/Tracking.cc:1795-1804)
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_FIELDS = (
+    "camera_poses", "rigid_motions", "rm_labels",
+    "stat_asso", "stat_valid", "stat_uv", "stat_depth", "stat_3d",
+    "line_asso", "line_valid", "line_uv", "line_depth", "line_plucker",
+    "dyn_asso", "dyn_valid", "dyn_uv", "dyn_depth", "dyn_3d", "dyn_label",
+    "dline_asso", "dline_valid", "dline_uv", "dline_depth",
+    "dline_plucker", "dline_label",
+)
+
+
+def _shape_snapshot(map_state, window: int):
+    """A read-only stand-in for the map whose per-frame lists are
+    extended to ``window`` frames by repeating the last (steady-state)
+    frame.  Feature counts per frame are capped, so replication predicts
+    the first real window's edge counts — and therefore its pow2 shape
+    buckets — closely; values are irrelevant (only shapes reach the
+    compile cache key)."""
+    import types
+
+    snap = types.SimpleNamespace()
+    for name in _SNAPSHOT_FIELDS:
+        src = list(getattr(map_state, name))
+        if src:
+            src.extend(src[-1:] * max(window - len(src), 0))
+        setattr(snap, name, src)
+    return snap
+
+
+def precompile_partial(map_state, K: Intrinsics, cfg,
+                       use_lines: bool = True):
+    """Trace + compile (and discard) the fused local-BA program for the
+    PREDICTED first-window shapes, priming the map's bucket ratchet so
+    the real first window lands in the same buckets and hits the jit
+    cache.  Runs on the caller's thread; see the async wrapper below."""
+    window = int(cfg.window_size)
+    if map_state.n_frames < 4:
+        return False
+    snap = _shape_snapshot(map_state, window)
+    w = _weights_from_cfg(cfg)
+    store = _ratchet_store(map_state)
+    max_iters = cfg.ba_local_iterations
+    gain = cfg.ba_gain_threshold
+    with _ratchet(store):
+        graph, _ = build_graph(
+            snap, K, 0, window,
+            min_track_len=cfg.ba_tracklet_min_len,
+            motion_init_identity=False, prior_info=1e7,
+            use_lines=use_lines,
+        )
+        # EXACTLY the real call path (cast included): with multiple
+        # devices the jit cache keys on argument placement, so the
+        # dummy call must present arguments the same way the trigger
+        # will
+        graph = _cast_graph(graph, jnp.float32)
+        _run_fused(graph, w, cfg, window, max_iters, gain)
+    return True
+
+
+# ---- persisted bucket floors: cross-PROCESS warm start.  A fresh
+# process can start the fused-program compile at frame 0 (before any
+# map data exists) from the floors a previous run of the same
+# configuration observed, hiding the whole ~40-48 s remote compile
+# behind the first window's tracking + frame-program compiles. ----
+
+_N_BUILD_SITES = 13          # build_graph's fixed-order _bucket calls
+
+
+def _floors_path():
+    import os
+    from pathlib import Path
+
+    p = os.environ.get("SDPL_BA_FLOORS")
+    if p is not None:
+        return None if p in ("", "0") else Path(p)
+    return (Path(os.path.expanduser("~")) / ".cache" / "sdpl_slam_tpu"
+            / "ba_floors.json")
+
+
+def _floors_key(cfg, use_lines: bool) -> str:
+    return ("w%d_o%d_l%d_bg%d_ob%d_sl%d_%dx%d_s%d_i%d_t%d" % (
+        cfg.window_size, cfg.overlap_size, int(bool(use_lines)),
+        cfg.max_track_point_bg, cfg.max_track_point_obj,
+        cfg.max_static_lines, cfg.width, cfg.height,
+        int(bool(cfg.ba_schur)), cfg.ba_local_iterations,
+        cfg.ba_tracklet_min_len,
+    ))
+
+
+def load_persisted_floors(cfg, use_lines: bool = True):
+    import json
+
+    path = _floors_path()
+    if path is None or not path.exists():
+        return None
+    try:
+        with open(path) as fh:
+            blob = json.load(fh)
+    except Exception:
+        return None
+    raw = blob.get(_floors_key(cfg, use_lines))
+    if not isinstance(raw, dict):
+        return None
+    floors = {
+        (int(k) if str(k).lstrip("-").isdigit() else str(k)): int(v)
+        for k, v in raw.items()
+    }
+    if any(i not in floors for i in range(_N_BUILD_SITES)):
+        return None
+    return floors
+
+
+def persist_floors(cfg, store: dict, use_lines: bool = True) -> None:
+    import json
+    import os
+
+    path = _floors_path()
+    if path is None or not store:
+        return
+    try:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        blob = {}
+        if path.exists():
+            try:
+                with open(path) as fh:
+                    blob = json.load(fh)
+            except Exception:
+                blob = {}
+        key = _floors_key(cfg, use_lines)
+        cur = blob.get(key, {}) if isinstance(blob.get(key), dict) else {}
+        for k, v in store.items():
+            sk = str(k)
+            cur[sk] = max(int(cur.get(sk, 0)), int(v))
+        blob[key] = cur
+        tmp = str(path) + ".tmp.%d" % os.getpid()
+        with open(tmp, "w") as fh:
+            json.dump(blob, fh)
+        os.replace(tmp, path)
+    except Exception:
+        pass                           # floors are an optimization only
+
+
+def _dummy_graph_from_floors(floors: dict, F: int):
+    """A BAGraph of exactly the floor shapes with all-invalid edges
+    (values never reach the compile cache key; all-invalid converges in
+    one LM iteration, so the dummy call is compile + one cheap step).
+    Field construction mirrors build_graph's jnp.asarray treatment so
+    the jit cache key matches the real trigger's."""
+    dt = np.float32
+    (Eo, M, Es, Ps, Esp, Pl, Esl, Pd, Edp, Et, Pld, Edl, Elt) = (
+        floors[i] for i in range(_N_BUILD_SITES)
+    )
+
+    def zi(n):
+        return jnp.asarray(np.zeros(n, np.int32))
+
+    def zb(n):
+        return jnp.asarray(np.zeros(n, bool))
+
+    def eye4(n):
+        return jnp.asarray(np.tile(np.eye(4, dtype=dt), (n, 1, 1)))
+
+    return bb.BAGraph(
+        cam_T0=eye4(F), cam_valid=jnp.asarray(np.ones(F, bool)),
+        prior_frame=jnp.asarray(0, jnp.int32),
+        prior_meas=jnp.asarray(np.eye(4, dtype=dt)),
+        prior_info=jnp.asarray(1e7, jnp.float32),
+        odo_i=zi(Eo), odo_j=zi(Eo), odo_meas=eye4(Eo), odo_valid=zb(Eo),
+        mot_T0=eye4(M), mot_valid=zb(M),
+        smo_i=zi(Es), smo_j=zi(Es), smo_valid=zb(Es),
+        Xs0=jnp.asarray(np.zeros((Ps, 3), dt)), Xs_valid=zb(Ps),
+        sp_cam=zi(Esp), sp_pt=zi(Esp),
+        sp_meas=jnp.asarray(np.zeros((Esp, 3), dt)), sp_valid=zb(Esp),
+        Ls_U0=jnp.asarray(np.tile(np.eye(3, dtype=dt), (Pl, 1, 1))),
+        Ls_w0=jnp.asarray(np.tile(np.array([1.0, 0.0], dt), (Pl, 1))),
+        Ls_valid=zb(Pl),
+        sl_cam=zi(Esl), sl_line=zi(Esl),
+        sl_meas=jnp.asarray(np.zeros((Esl, 6), dt)), sl_valid=zb(Esl),
+        Xd0=jnp.asarray(np.zeros((Pd, 3), dt)), Xd_valid=zb(Pd),
+        dp_cam=zi(Edp), dp_pt=zi(Edp),
+        dp_meas=jnp.asarray(np.zeros((Edp, 3), dt)), dp_valid=zb(Edp),
+        tern_prev=zi(Et), tern_cur=zi(Et), tern_mot=zi(Et),
+        tern_valid=zb(Et),
+        Ld_U0=jnp.asarray(np.tile(np.eye(3, dtype=dt), (Pld, 1, 1))),
+        Ld_w0=jnp.asarray(np.tile(np.array([1.0, 0.0], dt), (Pld, 1))),
+        Ld_valid=zb(Pld),
+        dl_cam=zi(Edl), dl_line=zi(Edl),
+        dl_meas=jnp.asarray(np.zeros((Edl, 6), dt)), dl_valid=zb(Edl),
+        ltern_prev=zi(Elt), ltern_cur=zi(Elt), ltern_mot=zi(Elt),
+        ltern_valid=zb(Elt),
+    )
+
+
+def precompile_partial_from_floors(map_state, cfg, floors,
+                                   use_lines: bool = True):
+    """Compile the fused window program from PERSISTED floors (no map
+    data needed — runs from frame 0 of a fresh process)."""
+    window = int(cfg.window_size)
+    w = _weights_from_cfg(cfg)
+    store = _ratchet_store(map_state)
+    for k, v in floors.items():
+        store[k] = max(store.get(k, 0), v)
+    with _ratchet(store):
+        graph = _dummy_graph_from_floors(floors, window)
+        graph = _cast_graph(graph, jnp.float32)
+        _run_fused(graph, w, cfg, window, cfg.ba_local_iterations,
+                   cfg.ba_gain_threshold)
+    return True
+
+
+def maybe_precompile_partial_async(map_state, K: Intrinsics, cfg,
+                                   use_lines: bool = True):
+    """One-shot hook for the frame loop: kick the first window's
+    fused-program compile in a daemon thread so it overlaps frames
+    0..window-1 instead of landing on the first trigger's critical
+    path.  Two sources, best first:
+
+     * PERSISTED floors from a previous run of this configuration —
+       available from frame 0, hides the whole compile;
+     * shape prediction from the frames mapped so far (steady-state
+       replication, ~window/3 frames needed).
+
+    No-op unless the fused f32 path is active (the f64 escape hatch
+    flips global jax config and must not run concurrently with the
+    frame programs)."""
+    if not (cfg and cfg.run_local_ba and cfg.ba_fused):
+        return None
+    if _ba_dtype(cfg) != jnp.float32:
+        return None
+    if getattr(map_state, "_ba_precompile_thread", None) is not None \
+            or getattr(map_state, "_ba_precompiled", False):
+        return None
+    window = int(cfg.window_size)
+    n = map_state.n_frames
+    if n >= window:
+        return None
+    floors = None
+    if n < max(4, window // 3):
+        floors = load_persisted_floors(cfg, use_lines)
+        if floors is None:
+            return None               # retry once enough frames exist
+    try:
+        map_state._ba_precompiled = True
+    except Exception:
+        return None
+
+    def _run():
+        try:
+            if floors is not None:
+                precompile_partial_from_floors(map_state, cfg, floors,
+                                               use_lines=use_lines)
+            else:
+                precompile_partial(map_state, K, cfg, use_lines=use_lines)
+        except Exception:
+            pass                      # a lost bet just recompiles later
+
+    th = _threading.Thread(target=_run, daemon=True,
+                           name="sdpl-lba-precompile")
+    map_state._ba_precompile_thread = th
+    th.start()
+    return th

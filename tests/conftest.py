@@ -7,12 +7,21 @@ Must set env BEFORE importing jax anywhere.
 """
 
 import os
+import time
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# hermetic persisted-BA-floors store (ba_builder.persist_floors): a
+# per-suite-run file so no state leaks between CI runs or from the
+# developer's ~/.cache into tests; subprocess-isolated tests inherit it
+os.environ.setdefault(
+    "SDPL_BA_FLOORS",
+    "/tmp/sdpl_ba_floors_test_%d_%d.json" % (os.getpid(), time.time_ns()),
+)
 
 import jax  # noqa: E402
 
