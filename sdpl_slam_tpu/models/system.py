@@ -59,10 +59,16 @@ class System:
         point_detections: Optional[np.ndarray] = None,
         next_image: Optional[np.ndarray] = None,
         next_image2: Optional[np.ndarray] = None,
+        traj: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Track one RGB-D frame; returns estimated T_cw.  Mirrors
-        ``System::TrackRGBD`` (System.cc:51-64); the trajectory canvas of
-        the reference API is dropped (visualization is offline here).
+        ``System::TrackRGBD`` (System.cc:51-64).
+        ``traj``: optional caller-owned (H, W, 3) uint8 BGR canvas — the
+        reference's ``imTraj`` (Tracking.h:67-69): for KITTI data the
+        bird's-eye camera square + object-centre circles are drawn onto
+        it in place per frame (Tracking.cc:836-907; here from the latest
+        DRAINED map row — the pipelined/chained paths lag 1-2 frames).
+        The reference's imshow windows are not replicated (headless).
         ``next_image``: optional prefetched image of frame t+1 -- its
         feature detectors run during this frame's solve, taking them off
         the per-frame critical path.  ``next_image2`` (frame t+2) lets
@@ -86,7 +92,7 @@ class System:
         with jax.profiler.StepTraceAnnotation(
             "frame", step_num=self.tracker.f_id
         ):
-            return self.tracker.grab_rgbd(
+            pose = self.tracker.grab_rgbd(
                 to_gray(im), depthmap, flowmap, masksem, gt_pose,
                 obj_poses_gt, timestamp, n_images,
                 line_detections=line_detections,
@@ -95,6 +101,20 @@ class System:
                 next_gray2=(None if next_image2 is None
                             else to_gray(next_image2)),
             )
+        # trajectory canvas (KITTI only, like the reference's
+        # mTestData==KITTI gate at Tracking.cc:836)
+        if (traj is not None and self.settings.choose_data == 2
+                and self.map.n_frames > 0):
+            from ..utils import traj_canvas
+
+            centres, labels = [], []
+            if self.map.rigid_centres:       # one entry per frame PAIR
+                centres = self.map.rigid_centres[-1][1:]
+                labels = self.map.rm_labels[-1][1:]
+            traj_canvas.draw_frame(
+                traj, self.map.camera_poses[-1], centres, labels
+            )
+        return pose
 
     def save_checkpoint(self, path: str | Path) -> None:
         """Persist the full mid-run state (map history + tracker state) so a

@@ -58,3 +58,44 @@ def test_kitti_disparity_depth_mode():
     assert r_err < 0.2, r_err
     # the object survives the KITTI parsing path too
     assert any(len(m) > 1 for m in sys_.map.rigid_motions)
+
+
+def test_traj_canvas_drawn():
+    """The TrackRGBD trajectory canvas (reference imTraj,
+    Tracking.h:67-69, drawn at Tracking.cc:836-907): passing a BGR
+    canvas mutates it in place — red camera squares along the
+    trajectory, header band, object circles for live labels."""
+    cfg = SynthConfig(n_frames=5, n_objects=1)
+    seq = SynthSequence(cfg)
+    settings = synth_settings(cfg)
+    settings.choose_data = KITTI
+    settings.run_local_ba = False
+    settings.run_global_ba = False
+    settings.boundary_shrink_x = 0
+    settings.boundary_shrink_y = 0
+    sys_ = System(settings, verbose=False)
+    traj = np.full((1000, 1000, 3), 255, np.uint8)   # example/sdpl_slam.cc:93
+    before = traj.copy()
+    from synthetic import _cam_pose, _obj_pose
+
+    for t in range(4):
+        f = seq.frame(t)
+        # KITTI-format GT rows (see test_kitti_disparity_depth_mode)
+        T_cw = np.linalg.inv(_cam_pose(cfg, t).astype(np.float64))
+        L_w = _obj_pose(cfg, 0, t).astype(np.float64)
+        t_cam = T_cw[:3, :3] @ L_w[:3, 3] + T_cw[:3, 3]
+        kitti_rows = [np.array(
+            [t, 1, 0, 0, 0, 0, t_cam[0], t_cam[1], t_cam[2],
+             -0.012 * t - np.pi / 2],
+            np.float32,
+        )]
+        sys_.track_rgbd(
+            f.gray, f.depth, f.flow, f.mask, f.gt_pose, kitti_rows,
+            t * 0.1, 4, line_detections=f.lines, traj=traj,
+        )
+    assert (traj != before).any(), "canvas untouched"
+    # red camera square: pure BGR (255,0,0) pixels must exist
+    red = (traj[:, :, 0] == 255) & (traj[:, :, 1] == 0) & (traj[:, :, 2] == 0)
+    assert red.any(), "no camera squares drawn"
+    # header band is blacked out (rect 10..550 x 30..60, possibly with text)
+    assert (traj[35:55, 200:540] == 0).any(), "no header band"
