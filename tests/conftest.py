@@ -23,6 +23,17 @@ os.environ.setdefault(
     "/tmp/sdpl_ba_floors_test_%d_%d.json" % (os.getpid(), time.time_ns()),
 )
 
+# The CPU suite's wall time is dominated by XLA:CPU compilation (the
+# persistent compile cache is unusable here -- see the note below).
+# Skipping XLA's expensive optimization passes cuts measured module
+# times ~35-40 % with no test-visible numeric change (the LLVM backend
+# still vectorizes); the TPU lane keeps full optimization.  Must be in
+# the environment BEFORE jax import.  The execution-bound KITTI-scale
+# subprocess tests strip it from their child env (unfused plane ops at
+# 1242x375 cost more than the compiles saved -- test_chained_kitti.py).
+if os.environ.get("SDPL_TEST_PLATFORM", "cpu") == "cpu":
+    os.environ.setdefault("JAX_DISABLE_MOST_OPTIMIZATIONS", "1")
+
 import jax  # noqa: E402
 
 # The axon sitecustomize force-sets jax_platforms="axon,cpu" (tunneled TPU);
