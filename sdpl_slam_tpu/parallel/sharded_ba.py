@@ -161,14 +161,19 @@ def state_from_graph(graph: bb.BAGraph) -> bb.BAState:
 
 
 def sharded_ba_step(graph: bb.BAGraph, state: bb.BAState, w: bb.BAWeights,
-                    lam, mesh: Mesh, cg_iters: int = 10):
+                    lam, mesh: Mesh, cg_iters: int = 10,
+                    reduce_dtype=None):
     """One damped-GN BA step with the graph sharded over the mesh.  GSPMD
     propagates the edge sharding through linearization and inserts the
-    reduction collectives for the scatter-adds."""
+    reduction collectives for the scatter-adds.  ``reduce_dtype``
+    (``ba_dtype: "mixed"``) runs the CG recurrences and the psum'd inner
+    products in f64 while the sharded HVP stays f32 — the cross-chip
+    reductions are exactly where long-sequence cancellation bites."""
     step = jax.jit(
-        bb.ba_gn_step, static_argnames=("cg_iters", "w"),
+        bb.ba_gn_step, static_argnames=("cg_iters", "w", "reduce_dtype"),
     )
-    return step(graph, state, w, lam, cg_iters=cg_iters)
+    return step(graph, state, w, lam, cg_iters=cg_iters,
+                reduce_dtype=reduce_dtype)
 
 
 def variable_bytes_per_device(graph: bb.BAGraph) -> int:
@@ -193,7 +198,7 @@ def variable_bytes_per_device(graph: bb.BAGraph) -> int:
 
 def run_sharded_ba(graph: bb.BAGraph, w: bb.BAWeights, mesh: Mesh,
                    max_iters: int = 10, cg_iters: int = 20,
-                   partitioned: bool = False):
+                   partitioned: bool = False, reduce_dtype=None):
     """LM loop over the sharded graph (full-sequence BA across chips).
     ``partitioned=True`` uses the frame-blocked layout with sharded
     variables (memory scales down with chip count; GSPMD inserts halo
@@ -213,7 +218,8 @@ def run_sharded_ba(graph: bb.BAGraph, w: bb.BAWeights, mesh: Mesh,
     cost = float(cost_fn(graph, state, w))
     for _ in range(max_iters):
         d, _, gain_den = sharded_ba_step(
-            graph, state, w, lam, mesh, cg_iters=cg_iters
+            graph, state, w, lam, mesh, cg_iters=cg_iters,
+            reduce_dtype=reduce_dtype,
         )
         new_state = retract(state, d)
         new_cost = float(cost_fn(graph, new_state, w))

@@ -534,6 +534,13 @@ def _ba_dtype(cfg):
         else jnp.float32
 
 
+def _ba_reduce_dtype(cfg):
+    """CG-reduction dtype for ``ba_dtype: "mixed"`` (f32 storage + HVP,
+    f64 recurrences/dots — batch_ba._pcg); None for the pure modes."""
+    name = str(getattr(cfg, "ba_dtype", "float32")) if cfg else "float32"
+    return jnp.float64 if name == "mixed" else None
+
+
 class _x64_scope:
     """Enable jax x64 only around the f64 BA solve (enabling it globally
     would promote scalar constants in every OTHER jit of the process and
@@ -575,7 +582,8 @@ def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
     # fused works for f64 too (the x64 scope below wraps tracing); the
     # f64 + ba_schur combination is the exact-step escape hatch
     fused = cfg.ba_fused if cfg else True
-    with _x64_scope(dtype == jnp.float64):
+    rd = _ba_reduce_dtype(cfg)
+    with _x64_scope(dtype == jnp.float64 or rd is not None):
         graph = _cast_graph(graph, dtype)
         if fused:
             state, cost = _run_fused(graph, w, cfg, map_state.n_frames,
@@ -583,7 +591,7 @@ def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
         else:
             state, cost = bb.run_ba(
                 graph, w, max_iters=max_iters, gain_threshold=gain,
-                verbose=verbose,
+                verbose=verbose, reduce_dtype=rd,
             )
     _write_back(map_state, state, meta, refined=True)
     return cost
@@ -626,6 +634,7 @@ def _run_fused(graph, w, cfg, n_frames, max_iters, gain):
     else:
         state, cost, _ = bb.run_ba_fused(
             graph, w, max_iters=max_iters, gain_threshold=gain,
+            reduce_dtype=_ba_reduce_dtype(cfg),
         )
     return state, float(cost)
 
@@ -678,7 +687,8 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
             motion_init_identity=False, prior_info=1e7,   # I/1e-7, :1463
             use_lines=use_lines,
         )
-        with _x64_scope(dtype == jnp.float64):
+        rd = _ba_reduce_dtype(cfg)
+        with _x64_scope(dtype == jnp.float64 or rd is not None):
             graph = _cast_graph(graph, dtype)
             if fused:
                 state, cost = _run_fused(graph, w, cfg, f1 - f0,
@@ -686,7 +696,7 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
             else:
                 state, cost = bb.run_ba(
                     graph, w, max_iters=max_iters, gain_threshold=gain,
-                    verbose=verbose,
+                    verbose=verbose, reduce_dtype=rd,
                 )
     _write_back(map_state, state, meta, refined=False)
     # refined trajectory starts from the locally-refined primary one

@@ -411,8 +411,15 @@ def _hvp_and_grad(lin, prior, graph, template):
     return grad(), hvp, block_diag()
 
 
-def _tree_dot(a, b):
-    return sum(jnp.vdot(a[k], b[k]) for k in a)
+def _tree_dot(a, b, dtype=None):
+    """Tree inner product; ``dtype`` upcasts the reduction (the
+    mixed-precision CG accumulates its recurrences in f64 while storage
+    and the HVP stay f32 — see ``ba_dtype: "mixed"`` in utils/config)."""
+    if dtype is None:
+        return sum(jnp.vdot(a[k], b[k]) for k in a)
+    return sum(
+        jnp.vdot(a[k].astype(dtype), b[k].astype(dtype)) for k in a
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -450,9 +457,12 @@ def _linearize_edge(graph: BAGraph, state: BAState, w: BAWeights, idx: int):
     return r, jacs, wgt, rho
 
 
-@functools.partial(jax.jit, static_argnames=("w", "cg_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("w", "cg_iters", "reduce_dtype")
+)
 def _solve_normal_eq(graph: BAGraph, state: BAState, w: BAWeights,
-                     lin_flat, prior, lam, cg_iters: int):
+                     lin_flat, prior, lam, cg_iters: int,
+                     reduce_dtype=None):
     """CG on precomputed per-edge jacobians (no jacfwd in this program)."""
     template = _zeros_delta(state)
     # rebuild the lin dicts with vertex indices from the graph
@@ -469,18 +479,38 @@ def _solve_normal_eq(graph: BAGraph, state: BAState, w: BAWeights,
     }
     bd_damped = {k: bd[k] + lam * eye[k] for k in bd}
     pinv = {k: jnp.linalg.inv(bd_damped[k] + 1e-8 * eye[k]) for k in bd}
+    return _pcg(hvp, g, pinv, lam, cg_iters, state.cam_T.dtype,
+                reduce_dtype)
+
+
+def _pcg(hvp, g, pinv, lam, cg_iters, dt, reduce_dtype=None):
+    """Block-Jacobi preconditioned CG on the damped normal equations.
+
+    With ``reduce_dtype`` set (``ba_dtype: "mixed"``), the CG recurrence
+    vectors (x, r, p, z) and every inner product run in that dtype while
+    the Hessian-vector product and the preconditioner apply stay in the
+    storage dtype ``dt`` (MXU-friendly f32): the matvec's rounding is a
+    per-iteration perturbation CG tolerates, but rounding the
+    *accumulated* recurrences compounds across iterations and is what
+    stalls f32 CG on ill-conditioned multi-hundred-frame graphs.
+    Tracing f64 requires jax x64 enabled (ba_builder._x64_scope).
+    """
+    rd = dt if reduce_dtype is None else reduce_dtype
+    lam_r = lam.astype(rd)
 
     def A(v):
-        hv = hvp(v)
-        return {k: hv[k] + lam * v[k] for k in hv}
+        hv = hvp({k: v[k].astype(dt) for k in v})
+        return {k: hv[k].astype(rd) + lam_r * v[k] for k in hv}
 
     def M(v):
         return {
-            k: jnp.einsum("nij,nj->ni", pinv[k], v[k], precision=_HI)
+            k: jnp.einsum(
+                "nij,nj->ni", pinv[k], v[k].astype(dt), precision=_HI
+            ).astype(rd)
             for k in v
         }
 
-    b = {k: -g[k] for k in g}
+    b = {k: (-g[k]).astype(rd) for k in g}
     x = {k: jnp.zeros_like(v) for k, v in b.items()}
     r = b
     z = M(r)
@@ -489,6 +519,9 @@ def _solve_normal_eq(graph: BAGraph, state: BAState, w: BAWeights,
     rz0 = rz
 
     def cond(carry):
+        # inexact-Newton exit: the LM step only needs the system solved
+        # to ~1e-2 residual (rz ~ ||r||_M^2); converged windows stop in
+        # a handful of iterations instead of burning the full budget
         x, r, z, p, rz, i = carry
         return (i < cg_iters) & (rz > 1e-4 * rz0)
 
@@ -507,8 +540,10 @@ def _solve_normal_eq(graph: BAGraph, state: BAState, w: BAWeights,
     x, r, z, p, rz, _ = jax.lax.while_loop(
         cond, body, (x, r, z, p, rz, jnp.asarray(0, jnp.int32))
     )
-    gain_den = _tree_dot(x, {k: lam * x[k] - g[k] for k in x})
-    return x, gain_den
+    gain_den = _tree_dot(
+        x, {k: lam_r * x[k] - g[k].astype(rd) for k in x}
+    )
+    return {k: x[k].astype(dt) for k in x}, gain_den.astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -521,7 +556,8 @@ def _prior_lin(state: BAState, prior_frame, prior_meas):
 
 
 def ba_gn_step_split(graph: BAGraph, state: BAState, w: BAWeights,
-                     lam, cg_iters: int = 40, n_types: int = 9):
+                     lam, cg_iters: int = 40, n_types: int = 9,
+                     reduce_dtype=None):
     """The damped-GN step assembled from the small compilation units."""
     lin_flat = tuple(
         _linearize_edge(graph, state, w, i) for i in range(n_types)
@@ -530,13 +566,14 @@ def ba_gn_step_split(graph: BAGraph, state: BAState, w: BAWeights,
     prior = _prior_lin(state, graph.prior_frame, graph.prior_meas)
     cost = cost + graph.prior_info * jnp.sum(prior[0] * prior[0])
     d, gain_den = _solve_normal_eq(
-        graph, state, w, lin_flat, prior, lam, cg_iters
+        graph, state, w, lin_flat, prior, lam, cg_iters,
+        reduce_dtype=reduce_dtype,
     )
     return d, cost, gain_den
 
 
 def ba_gn_step(graph: BAGraph, state: BAState, w: BAWeights,
-               lam: jnp.ndarray, cg_iters: int = 40):
+               lam: jnp.ndarray, cg_iters: int = 40, reduce_dtype=None):
     """One damped GN step: linearize, solve (H + lam*blockdiag(H)) d = -g
     with block-Jacobi preconditioned CG, return (delta, cost, gain_den)."""
     template = _zeros_delta(state)
@@ -552,58 +589,20 @@ def ba_gn_step(graph: BAGraph, state: BAState, w: BAWeights,
     # LM damping on the block diagonal (g2o: H_ii += lam)
     bd_damped = {k: bd[k] + lam * eye[k] for k in bd}
     pinv = {k: jnp.linalg.inv(bd_damped[k] + 1e-8 * eye[k]) for k in bd}
-
-    def A(v):
-        hv = hvp(v)
-        return {k: hv[k] + lam * v[k] for k in hv}
-
-    def M(v):
-        return {
-            k: jnp.einsum("nij,nj->ni", pinv[k], v[k], precision=_HI)
-            for k in v
-        }
-
-    b = {k: -g[k] for k in g}
-    x = {k: jnp.zeros_like(v) for k, v in b.items()}
-    r = b
-    z = M(r)
-    p = z
-    rz = _tree_dot(r, z)
-    rz0 = rz
-
-    def cond(carry):
-        # inexact-Newton exit: the LM step only needs the system solved
-        # to ~1e-2 residual (rz ~ ||r||_M^2); converged windows stop in
-        # a handful of iterations instead of burning the full budget
-        x, r, z, p, rz, i = carry
-        return (i < cg_iters) & (rz > 1e-4 * rz0)
-
-    def body(carry):
-        x, r, z, p, rz, i = carry
-        Ap = A(p)
-        pAp = _tree_dot(p, Ap)
-        alpha = rz / jnp.maximum(pAp, 1e-20)
-        x = {k: x[k] + alpha * p[k] for k in x}
-        r = {k: r[k] - alpha * Ap[k] for k in r}
-        z = M(r)
-        rz_new = _tree_dot(r, z)
-        beta = rz_new / jnp.maximum(rz, 1e-20)
-        p = {k: z[k] + beta * p[k] for k in p}
-        return x, r, z, p, rz_new, i + 1
-
-    x, r, z, p, rz, _ = jax.lax.while_loop(
-        cond, body, (x, r, z, p, rz, jnp.asarray(0, jnp.int32))
-    )
-    gain_den = _tree_dot(x, {k: lam * x[k] - g[k] for k in x})
+    x, gain_den = _pcg(hvp, g, pinv, lam, cg_iters, state.cam_T.dtype,
+                       reduce_dtype)
     return x, cost, gain_den
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("w", "max_iters", "cg_iters", "gain_threshold"),
+    static_argnames=(
+        "w", "max_iters", "cg_iters", "gain_threshold", "reduce_dtype"
+    ),
 )
 def run_ba_fused(graph: BAGraph, w: BAWeights, max_iters: int = 20,
-                 cg_iters: int = 40, gain_threshold: float = 1e-4):
+                 cg_iters: int = 40, gain_threshold: float = 1e-4,
+                 reduce_dtype=None):
     """The WHOLE LM outer loop as ONE device program.
 
     The split-unit path (``run_ba``) costs ~13 dispatches per LM
@@ -632,7 +631,8 @@ def run_ba_fused(graph: BAGraph, w: BAWeights, max_iters: int = 20,
     def body(c):
         state, lam, nu, cost, it, done = c
         x, _, gain_den = ba_gn_step(graph, state, w, lam,
-                                    cg_iters=cg_iters)
+                                    cg_iters=cg_iters,
+                                    reduce_dtype=reduce_dtype)
         new_state = _retract(state, x)
         new_cost = _cost_only(graph, new_state, w)
         rho = (cost - new_cost) / jnp.maximum(gain_den, 1e-20)
@@ -661,7 +661,7 @@ def run_ba_fused(graph: BAGraph, w: BAWeights, max_iters: int = 20,
 
 def run_ba(graph: BAGraph, w: BAWeights, max_iters: int = 20,
            cg_iters: int = 40, gain_threshold: float = 1e-4,
-           verbose: bool = False):
+           verbose: bool = False, reduce_dtype=None):
     """LM outer loop (python; each step one jitted device program).
     Terminates on the reference's relative-gain criterion
     (SparseOptimizerTerminateAction, gain < 1e-4, Optimizer.cc:4004)."""
@@ -678,7 +678,8 @@ def run_ba(graph: BAGraph, w: BAWeights, max_iters: int = 20,
     cost = float(cost_fn(graph, state, w))
     for it in range(max_iters):
         d, _, gain_den = ba_gn_step_split(
-            graph, state, w, lam, cg_iters=cg_iters
+            graph, state, w, lam, cg_iters=cg_iters,
+            reduce_dtype=reduce_dtype,
         )
         new_state = retract(state, d)
         new_cost = float(cost_fn(graph, new_state, w))

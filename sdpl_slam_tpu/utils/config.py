@@ -151,10 +151,14 @@ class Settings:
     ba_sigma_motion: float = 100.0
     ba_sigma_3d_dynamic: float = 80.0
     ba_huber_delta: float = 1e-4
-    # batch-BA numeric dtype: "float32" (default; TPU-native) or
-    # "float64" (CPU escape hatch for multi-hundred-frame global BA
-    # conditioning -- the reference's vendored g2o runs double
-    # throughout).  f64 enables jax x64 on demand; write-back is f32.
+    # batch-BA numeric dtype: "float32" (default; TPU-native),
+    # "mixed" (f32 storage + MXU Hessian-vector products, f64 CG
+    # recurrences/inner products -- most of f64's conditioning benefit
+    # for multi-hundred-frame global BA at near-f32 cost; the f64 work
+    # is O(dof) vector updates, not the O(edges) matvec), or
+    # "float64" (full-double escape hatch -- the reference's vendored
+    # g2o runs double throughout).  Both non-f32 modes enable jax x64
+    # scoped around the solve; write-back is f32 either way.
     ba_dtype: str = "float32"
     ba_tracklet_min_len: int = 3      # Optimizer.cc:3938
     ba_local_iterations: int = 100    # partial optimize(100), Optimizer.cc:2462
