@@ -8,40 +8,69 @@
 // mmap-based scanners exposed through ctypes (pybind11 is not available in
 // this environment).
 //
+// Layout: every parser has a BUFFER-based core (parse bytes already in
+// memory) and a thin path-based wrapper.  sdpl_read_files_batch reads a
+// frame's whole file bundle (image/depth/flow/mask) with ONE io_uring
+// submission — the kernel services the reads concurrently instead of four
+// serialized read() round-trips — falling back to plain pread when
+// io_uring is unavailable (seccomp/old kernels).
+//
 // Build: make -C native   (produces libsdpl_io.so)
 
+#include <cerrno>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <png.h>
 #include <fcntl.h>
+#include <linux/io_uring.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
+#include <sys/syscall.h>
 #include <unistd.h>
+
+namespace {
+
+// Read a whole file into a malloc'd buffer (plain pread path).
+uint8_t* read_whole_file(const char* path, int64_t* size_out) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) { close(fd); return nullptr; }
+  int64_t n = static_cast<int64_t>(st.st_size);
+  uint8_t* buf = static_cast<uint8_t*>(malloc(n > 0 ? n : 1));
+  if (!buf) { close(fd); return nullptr; }
+  int64_t off = 0;
+  while (off < n) {
+    ssize_t got = pread(fd, buf + off, n - off, off);
+    if (got <= 0) { free(buf); close(fd); return nullptr; }
+    off += got;
+  }
+  close(fd);
+  *size_out = n;
+  return buf;
+}
+
+}  // namespace
 
 extern "C" {
 
-// Parse a whitespace-separated integer matrix with exactly rows*cols
-// entries into out (int32, row-major).  Returns number of parsed values,
-// or -1 on I/O error.
-int64_t sdpl_parse_int_matrix(const char* path, int32_t* out,
-                              int64_t rows, int64_t cols) {
-  int fd = open(path, O_RDONLY);
-  if (fd < 0) return -1;
-  struct stat st;
-  if (fstat(fd, &st) != 0) { close(fd); return -1; }
-  size_t n = static_cast<size_t>(st.st_size);
-  const char* data =
-      static_cast<const char*>(mmap(nullptr, n, PROT_READ, MAP_PRIVATE, fd, 0));
-  close(fd);
-  if (data == MAP_FAILED) return -1;
+void sdpl_free_buf(uint8_t* p) { free(p); }
 
+// ---------------------------------------------------------------------------
+// Integer text matrix (semantic mask)
+// ---------------------------------------------------------------------------
+
+// Parse a whitespace-separated integer matrix from an in-memory buffer.
+// Returns the number of parsed values (stops at rows*cols).
+int64_t sdpl_parse_int_matrix_buf(const char* data, int64_t n, int32_t* out,
+                                  int64_t rows, int64_t cols) {
   const int64_t want = rows * cols;
   int64_t count = 0;
   const char* p = data;
   const char* end = data + n;
   while (p < end && count < want) {
-    // skip whitespace
     while (p < end && (*p == ' ' || *p == '\n' || *p == '\r' || *p == '\t'))
       ++p;
     if (p >= end) break;
@@ -54,35 +83,66 @@ int64_t sdpl_parse_int_matrix(const char* path, int32_t* out,
     }
     out[count++] = neg ? -v : v;
   }
+  return count;
+}
+
+// Path wrapper (mmap).  Returns number of parsed values, or -1 on I/O error.
+int64_t sdpl_parse_int_matrix(const char* path, int32_t* out,
+                              int64_t rows, int64_t cols) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0) { close(fd); return -1; }
+  size_t n = static_cast<size_t>(st.st_size);
+  const char* data =
+      static_cast<const char*>(mmap(nullptr, n, PROT_READ, MAP_PRIVATE, fd, 0));
+  close(fd);
+  if (data == MAP_FAILED) return -1;
+  int64_t count = sdpl_parse_int_matrix_buf(data, n, out, rows, cols);
   munmap(const_cast<char*>(data), n);
   return count;
 }
 
-// Read a Middlebury .flo file into out (float32, H*W*2).  Returns 0 on
-// success; fills width/height.  -1: open failure, -2: bad magic,
-// -3: size mismatch with the provided capacity.
-int32_t sdpl_read_flo(const char* path, float* out, int64_t capacity,
-                      int32_t* width, int32_t* height) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return -1;
-  float magic = 0.f;
-  if (fread(&magic, 4, 1, f) != 1 || magic != 202021.25f) {
-    fclose(f);
-    return -2;
-  }
-  int32_t w = 0, h = 0;
-  if (fread(&w, 4, 1, f) != 1 || fread(&h, 4, 1, f) != 1) {
-    fclose(f);
-    return -2;
-  }
+// ---------------------------------------------------------------------------
+// Middlebury .flo
+// ---------------------------------------------------------------------------
+
+// Parse a .flo byte buffer into out (float32, H*W*2).  0 on success;
+// -2 bad magic/truncated, -3 capacity too small.
+int32_t sdpl_parse_flo_buf(const uint8_t* data, int64_t n, float* out,
+                           int64_t capacity, int32_t* width,
+                           int32_t* height) {
+  if (n < 12) return -2;
+  float magic;
+  memcpy(&magic, data, 4);
+  if (magic != 202021.25f) return -2;
+  int32_t w, h;
+  memcpy(&w, data + 4, 4);
+  memcpy(&h, data + 8, 4);
   *width = w;
   *height = h;
-  const int64_t n = static_cast<int64_t>(w) * h * 2;
-  if (n > capacity) { fclose(f); return -3; }
-  size_t got = fread(out, 4, static_cast<size_t>(n), f);
-  fclose(f);
-  return got == static_cast<size_t>(n) ? 0 : -2;
+  const int64_t cnt = static_cast<int64_t>(w) * h * 2;
+  if (cnt > capacity) return -3;
+  if (n < 12 + cnt * 4) return -2;
+  memcpy(out, data + 12, static_cast<size_t>(cnt) * 4);
+  return 0;
 }
+
+// Path wrapper.  0 on success; -1 open failure, -2 bad magic/truncated,
+// -3 capacity too small.
+int32_t sdpl_read_flo(const char* path, float* out, int64_t capacity,
+                      int32_t* width, int32_t* height) {
+  int64_t n = 0;
+  uint8_t* buf = read_whole_file(path, &n);
+  if (!buf) return -1;
+  int32_t rc = sdpl_parse_flo_buf(buf, n, out, capacity, width, height);
+  free(buf);
+  return rc;
+}
+
+// ---------------------------------------------------------------------------
+// Depth conversions
+// ---------------------------------------------------------------------------
 
 // KITTI disparity->depth conversion fused with negative clamping
 // (Tracking.cc:195-219): out = bf / (d / factor) for d > 0 else 0.
@@ -101,47 +161,58 @@ void sdpl_depth_scale(const float* in, float* out, int64_t n, float factor) {
   }
 }
 
+// ---------------------------------------------------------------------------
 // PNG decode via libpng (replaces cv2.imread on the loader hot path;
 // the reference reads images with cv::imread UNCHANGED,
 // /root/reference/example/sdpl_slam.cc:104-113).
+// ---------------------------------------------------------------------------
+
+namespace {
+struct MemReader {
+  const uint8_t* data;
+  size_t size;
+  size_t off;
+};
+
+void mem_read_fn(png_structp png, png_bytep out, png_size_t count) {
+  MemReader* r = static_cast<MemReader*>(png_get_io_ptr(png));
+  if (r->off + count > r->size) png_error(png, "sdpl: png eof");
+  memcpy(out, r->data + r->off, count);
+  r->off += count;
+}
+}  // namespace
+
+// Decode a PNG byte buffer.
 //
 // out receives the decoded rows packed little-endian:
 //   8-bit:  channels bytes per pixel
 //   16-bit: channels uint16 per pixel (network order swapped to LE)
 // Palette images expand to RGB; 1/2/4-bit gray expands to 8-bit.
 // Returns 0 on success; fills w/h/channels/bitdepth.
-//   -1 open/parse failure, -3 capacity too small.
-int32_t sdpl_read_png(const char* path, uint8_t* out, int64_t cap_bytes,
-                      int32_t* w, int32_t* h, int32_t* channels,
-                      int32_t* bitdepth) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return -1;
-  png_byte sig[8];
-  if (fread(sig, 1, 8, f) != 8 || png_sig_cmp(sig, 0, 8)) {
-    fclose(f);
-    return -1;
-  }
+//   -1 parse failure, -3 capacity too small.
+int32_t sdpl_read_png_buf(const uint8_t* data, int64_t size, uint8_t* out,
+                          int64_t cap_bytes, int32_t* w, int32_t* h,
+                          int32_t* channels, int32_t* bitdepth) {
+  if (size < 8 || png_sig_cmp(const_cast<uint8_t*>(data), 0, 8)) return -1;
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
-  if (!png) { fclose(f); return -1; }
+  if (!png) return -1;
   png_infop info = png_create_info_struct(png);
   if (!info) {
     png_destroy_read_struct(&png, nullptr, nullptr);
-    fclose(f);
     return -1;
   }
   int32_t rc = 0;
   // volatile: modified between setjmp and a potential longjmp from inside
   // libpng (corrupt PNG body) — without it the error-branch read is UB.
   png_bytep* volatile rows = nullptr;
+  MemReader reader{data, static_cast<size_t>(size), 0};
   if (setjmp(png_jmpbuf(png))) {
     delete[] rows;
     png_destroy_read_struct(&png, &info, nullptr);
-    fclose(f);
     return -1;
   }
-  png_init_io(png, f);
-  png_set_sig_bytes(png, 8);
+  png_set_read_fn(png, &reader, mem_read_fn);
   png_read_info(png, info);
 
   png_uint_32 width = png_get_image_width(png, info);
@@ -174,8 +245,217 @@ int32_t sdpl_read_png(const char* path, uint8_t* out, int64_t cap_bytes,
   }
   delete[] rows;
   png_destroy_read_struct(&png, &info, nullptr);
-  fclose(f);
   return rc;
+}
+
+// Path wrapper.  -1 open/parse failure, -3 capacity too small.
+int32_t sdpl_read_png(const char* path, uint8_t* out, int64_t cap_bytes,
+                      int32_t* w, int32_t* h, int32_t* channels,
+                      int32_t* bitdepth) {
+  int64_t n = 0;
+  uint8_t* buf = read_whole_file(path, &n);
+  if (!buf) return -1;
+  int32_t rc =
+      sdpl_read_png_buf(buf, n, out, cap_bytes, w, h, channels, bitdepth);
+  free(buf);
+  return rc;
+}
+
+// ---------------------------------------------------------------------------
+// io_uring batched file bundle read
+// ---------------------------------------------------------------------------
+
+namespace {
+
+int io_uring_setup_(unsigned entries, struct io_uring_params* p) {
+  return static_cast<int>(syscall(__NR_io_uring_setup, entries, p));
+}
+
+int io_uring_enter_(int fd, unsigned to_submit, unsigned min_complete,
+                    unsigned flags) {
+  return static_cast<int>(syscall(__NR_io_uring_enter, fd, to_submit,
+                                  min_complete, flags, nullptr, 0));
+}
+
+// A minimal single-shot ring: setup, mmap the SQ/CQ rings + SQE array,
+// submit the whole batch, reap, teardown.  Per-call setup costs ~10 us —
+// negligible against per-frame file I/O — and keeps the reader
+// thread-safe without locks (the prefetcher calls from worker threads).
+struct Ring {
+  int fd = -1;
+  uint8_t* sq = nullptr;
+  uint8_t* cq = nullptr;
+  size_t sq_sz = 0, cq_sz = 0;
+  struct io_uring_sqe* sqes = nullptr;
+  size_t sqes_sz = 0;
+  unsigned* sq_head = nullptr;
+  unsigned* sq_tail = nullptr;
+  unsigned sq_mask = 0;
+  unsigned* sq_array = nullptr;
+  unsigned* cq_head = nullptr;
+  unsigned* cq_tail = nullptr;
+  unsigned cq_mask = 0;
+  struct io_uring_cqe* cqes = nullptr;
+
+  bool init(unsigned entries) {
+    struct io_uring_params p;
+    memset(&p, 0, sizeof(p));
+    fd = io_uring_setup_(entries, &p);
+    if (fd < 0) return false;
+    sq_sz = p.sq_off.array + p.sq_entries * sizeof(unsigned);
+    cq_sz = p.cq_off.cqes + p.cq_entries * sizeof(struct io_uring_cqe);
+    bool single = p.features & IORING_FEAT_SINGLE_MMAP;
+    if (single && cq_sz > sq_sz) sq_sz = cq_sz;
+    sq = static_cast<uint8_t*>(
+        mmap(nullptr, sq_sz, PROT_READ | PROT_WRITE,
+             MAP_SHARED | MAP_POPULATE, fd, IORING_OFF_SQ_RING));
+    if (sq == MAP_FAILED) { sq = nullptr; return false; }
+    if (single) {
+      cq = sq;
+      cq_sz = 0;  // shared mapping; don't munmap twice
+    } else {
+      cq = static_cast<uint8_t*>(
+          mmap(nullptr, cq_sz, PROT_READ | PROT_WRITE,
+               MAP_SHARED | MAP_POPULATE, fd, IORING_OFF_CQ_RING));
+      if (cq == MAP_FAILED) { cq = nullptr; return false; }
+    }
+    sqes_sz = p.sq_entries * sizeof(struct io_uring_sqe);
+    sqes = static_cast<struct io_uring_sqe*>(
+        mmap(nullptr, sqes_sz, PROT_READ | PROT_WRITE,
+             MAP_SHARED | MAP_POPULATE, fd, IORING_OFF_SQES));
+    if (sqes == MAP_FAILED) { sqes = nullptr; return false; }
+    sq_head = reinterpret_cast<unsigned*>(sq + p.sq_off.head);
+    sq_tail = reinterpret_cast<unsigned*>(sq + p.sq_off.tail);
+    sq_mask = *reinterpret_cast<unsigned*>(sq + p.sq_off.ring_mask);
+    sq_array = reinterpret_cast<unsigned*>(sq + p.sq_off.array);
+    cq_head = reinterpret_cast<unsigned*>(cq + p.cq_off.head);
+    cq_tail = reinterpret_cast<unsigned*>(cq + p.cq_off.tail);
+    cq_mask = *reinterpret_cast<unsigned*>(cq + p.cq_off.ring_mask);
+    cqes = reinterpret_cast<struct io_uring_cqe*>(cq + p.cq_off.cqes);
+    return true;
+  }
+
+  ~Ring() {
+    if (sqes) munmap(sqes, sqes_sz);
+    if (cq && cq != sq) munmap(cq, cq_sz);
+    if (sq) munmap(sq, sq_sz);
+    if (fd >= 0) close(fd);
+  }
+};
+
+}  // namespace
+
+// Read ``n`` whole files concurrently.  bufs[i] receives a malloc'd
+// buffer (caller frees via sdpl_free_buf); sizes[i] the byte count, or
+// -1 when that file failed.  mode_out: 1 = io_uring batched submission,
+// 0 = pread fallback.  Returns the number of files successfully read.
+int32_t sdpl_read_files_batch(const char* const* paths, int32_t n,
+                              uint8_t** bufs, int64_t* sizes,
+                              int32_t* mode_out) {
+  for (int32_t i = 0; i < n; ++i) {
+    bufs[i] = nullptr;
+    sizes[i] = -1;
+  }
+  if (n <= 0) { *mode_out = 0; return 0; }
+
+  // open + size + allocate everything up front
+  int* fds = static_cast<int*>(malloc(n * sizeof(int)));
+  for (int32_t i = 0; i < n; ++i) {
+    fds[i] = open(paths[i], O_RDONLY);
+    if (fds[i] < 0) continue;
+    struct stat st;
+    if (fstat(fds[i], &st) != 0) { close(fds[i]); fds[i] = -1; continue; }
+    int64_t sz = static_cast<int64_t>(st.st_size);
+    bufs[i] = static_cast<uint8_t*>(malloc(sz > 0 ? sz : 1));
+    if (!bufs[i]) { close(fds[i]); fds[i] = -1; continue; }
+    sizes[i] = sz;
+  }
+
+  static constexpr unsigned kDepth = 32;
+  Ring ring;
+  bool uring = ring.init(kDepth);
+  *mode_out = uring ? 1 : 0;
+
+  if (uring) {
+    int32_t submitted_total = 0;
+    while (submitted_total < n) {
+      unsigned tail = __atomic_load_n(ring.sq_tail, __ATOMIC_ACQUIRE);
+      unsigned batch = 0;
+      int32_t upto = submitted_total;
+      while (upto < n && batch < kDepth) {
+        int32_t i = upto++;
+        if (fds[i] < 0) continue;
+        struct io_uring_sqe* sqe = &ring.sqes[tail & ring.sq_mask];
+        memset(sqe, 0, sizeof(*sqe));
+        sqe->opcode = IORING_OP_READ;
+        sqe->fd = fds[i];
+        sqe->addr = reinterpret_cast<uint64_t>(bufs[i]);
+        sqe->len = static_cast<unsigned>(sizes[i]);
+        sqe->off = 0;
+        sqe->user_data = static_cast<uint64_t>(i);
+        ring.sq_array[tail & ring.sq_mask] = tail & ring.sq_mask;
+        ++tail;
+        ++batch;
+      }
+      __atomic_store_n(ring.sq_tail, tail, __ATOMIC_RELEASE);
+      if (batch > 0) {
+        int rc = io_uring_enter_(ring.fd, batch, batch,
+                                 IORING_ENTER_GETEVENTS);
+        if (rc < 0) {
+          // ring died mid-flight; fall back for the rest
+          uring = false;
+          *mode_out = 0;
+          break;
+        }
+        // reap completions
+        unsigned head = __atomic_load_n(ring.cq_head, __ATOMIC_ACQUIRE);
+        unsigned ctail = __atomic_load_n(ring.cq_tail, __ATOMIC_ACQUIRE);
+        while (head != ctail) {
+          struct io_uring_cqe* cqe = &ring.cqes[head & ring.cq_mask];
+          int32_t i = static_cast<int32_t>(cqe->user_data);
+          if (cqe->res < 0 || cqe->res != sizes[i]) {
+            // short/failed read: finish with pread (page-cache hits make
+            // shorts rare; correctness over micro-optimization)
+            int64_t off = cqe->res > 0 ? cqe->res : 0;
+            while (off < sizes[i]) {
+              ssize_t got =
+                  pread(fds[i], bufs[i] + off, sizes[i] - off, off);
+              if (got <= 0) { sizes[i] = -1; break; }
+              off += got;
+            }
+          }
+          ++head;
+        }
+        __atomic_store_n(ring.cq_head, head, __ATOMIC_RELEASE);
+      }
+      submitted_total = upto;
+    }
+  }
+
+  if (!uring) {
+    for (int32_t i = 0; i < n; ++i) {
+      if (fds[i] < 0 || sizes[i] < 0) continue;
+      int64_t off = 0;
+      while (off < sizes[i]) {
+        ssize_t got = pread(fds[i], bufs[i] + off, sizes[i] - off, off);
+        if (got <= 0) { sizes[i] = -1; break; }
+        off += got;
+      }
+    }
+  }
+
+  int32_t ok = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    if (fds[i] >= 0) close(fds[i]);
+    if (sizes[i] >= 0) {
+      ++ok;
+    } else if (bufs[i]) {
+      free(bufs[i]);
+      bufs[i] = nullptr;
+    }
+  }
+  free(fds);
+  return ok;
 }
 
 }  // extern "C"

@@ -75,6 +75,23 @@ def read_mask_txt(path: str | Path,
     return np.loadtxt(path, dtype=np.int32)
 
 
+def _gray_postprocess(im: np.ndarray) -> np.ndarray:
+    """Native-decoded PNG -> grayscale, shared by the per-file and
+    batched loaders."""
+    if im.ndim == 3 and im.shape[-1] >= 3:
+        # PNG channel order is RGB; cvtColor luma weights
+        wts = np.array([0.299, 0.587, 0.114], np.float32)
+        im = (
+            im[..., :3].astype(np.float32) @ wts
+        ).round().astype(im.dtype)
+    elif im.ndim == 3:
+        # gray+alpha (color type 4): luma is channel 0
+        im = np.ascontiguousarray(im[..., 0])
+    # 16-bit grayscale: returned as-is, matching the cv2
+    # IMREAD_UNCHANGED fallback (one convention, both paths)
+    return im
+
+
 def read_image_gray(path: str | Path) -> np.ndarray:
     """Load an image as uint8 grayscale (reference converts RGB->gray,
     /root/reference/src/Tracking.cc:224-237).  Prefers the native libpng
@@ -84,18 +101,7 @@ def read_image_gray(path: str | Path) -> np.ndarray:
     if native.available() and str(path).lower().endswith(".png"):
         im = native.read_png(str(path))
         if im is not None:
-            if im.ndim == 3 and im.shape[-1] >= 3:
-                # PNG channel order is RGB; cvtColor luma weights
-                wts = np.array([0.299, 0.587, 0.114], np.float32)
-                im = (
-                    im[..., :3].astype(np.float32) @ wts
-                ).round().astype(im.dtype)
-            elif im.ndim == 3:
-                # gray+alpha (color type 4): luma is channel 0
-                im = np.ascontiguousarray(im[..., 0])
-            # 16-bit grayscale: return as-is, matching the cv2
-            # IMREAD_UNCHANGED fallback below (one convention, both paths)
-            return im
+            return _gray_postprocess(im)
     import cv2
 
     im = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
@@ -143,13 +149,44 @@ class Sequence:
         return self.root / "image_0" / f"{i:06d}.png"
 
     def frame(self, i: int):
-        """Load raw inputs for frame i: (gray, depth_f32, flow, mask)."""
-        gray = read_image_gray(self.rgb_path(i))
-        depth = read_depth_png(self.root / "depth" / f"{i:06d}.png")
-        flow = read_flo(self.root / "flow" / f"{i:06d}.flo")
-        mask = read_mask_txt(
-            self.root / "semantic" / f"{i:06d}.txt", shape=gray.shape
-        )
+        """Load raw inputs for frame i: (gray, depth_f32, flow, mask).
+
+        The four files are read with ONE batched native submission
+        (io_uring when the kernel allows it — native/sdpl_io.cpp
+        sdpl_read_files_batch) and parsed from memory; any piece that
+        fails falls back to its per-file reader."""
+        from . import native
+
+        rgb = self.rgb_path(i)
+        dp = self.root / "depth" / f"{i:06d}.png"
+        fp = self.root / "flow" / f"{i:06d}.flo"
+        mp = self.root / "semantic" / f"{i:06d}.txt"
+        gray = depth = flow = mask = None
+        if native.available() and str(rgb).lower().endswith(".png"):
+            bufs = native.read_files_batch([rgb, dp, fp, mp])
+            if bufs is not None:
+                if bufs[0] is not None:
+                    im = native.parse_png(bufs[0])
+                    if im is not None:
+                        gray = _gray_postprocess(im)
+                if bufs[1] is not None:
+                    im = native.parse_png(bufs[1])
+                    if im is not None and im.ndim == 2:
+                        depth = im.astype(np.float32)
+                if bufs[2] is not None:
+                    flow = native.parse_flo(bufs[2])
+                if bufs[3] is not None and gray is not None:
+                    mask = native.parse_int_matrix_bytes(
+                        bufs[3], gray.shape[0], gray.shape[1]
+                    )
+        if gray is None:
+            gray = read_image_gray(rgb)
+        if depth is None:
+            depth = read_depth_png(dp)
+        if flow is None:
+            flow = read_flo(fp)
+        if mask is None:
+            mask = read_mask_txt(mp, shape=gray.shape)
         return gray, depth, flow, mask
 
     def gt_pose(self, i: int) -> np.ndarray:

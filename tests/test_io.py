@@ -70,6 +70,78 @@ def test_sequence_loader(tmp_path, rng):
     np.testing.assert_allclose(seq.gt_pose(1), np.eye(4))
 
 
+def test_batched_frame_load_matches_per_file(tmp_path, rng):
+    """Sequence.frame's batched path (ONE native read_files_batch
+    submission + in-memory parsers) must produce byte-identical arrays
+    to the per-file readers."""
+    import cv2
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+    root = tmp_path / "seq"
+    for d in ("image_0", "depth", "semantic", "flow"):
+        (root / d).mkdir(parents=True)
+    h, w, n = 31, 47, 2
+    np.savetxt(root / "times.txt", np.arange(n) * 0.1, fmt="%.6f")
+    for i in range(n):
+        cv2.imwrite(str(root / "image_0" / f"{i:06d}.png"),
+                    rng.integers(0, 255, (h, w, 3)).astype(np.uint8))
+        cv2.imwrite(str(root / "depth" / f"{i:06d}.png"),
+                    rng.integers(0, 65535, (h, w)).astype(np.uint16))
+        np.savetxt(root / "semantic" / f"{i:06d}.txt",
+                   rng.integers(-1, 5, (h, w)), fmt="%d")
+        dataset.write_flo(root / "flow" / f"{i:06d}.flo",
+                          rng.normal(size=(h, w, 2)).astype(np.float32))
+
+    seq = dataset.load_sequence(root)
+    gray, depth, flow, mask = seq.frame(0)
+    # per-file reference
+    g2 = dataset.read_image_gray(root / "image_0" / "000000.png")
+    d2 = dataset.read_depth_png(root / "depth" / "000000.png")
+    f2 = dataset.read_flo(root / "flow" / "000000.flo")
+    m2 = dataset.read_mask_txt(root / "semantic" / "000000.txt",
+                               shape=(h, w))
+    np.testing.assert_array_equal(gray, g2)
+    np.testing.assert_array_equal(depth, d2)
+    np.testing.assert_array_equal(flow, f2)
+    np.testing.assert_array_equal(mask, m2)
+    # the batched reader must have actually run (either kernel mode)
+    assert native.last_batch_mode in (0, 1)
+
+
+def test_buffer_parsers_match_path_readers(tmp_path, rng):
+    """parse_png / parse_flo / parse_int_matrix_bytes (the in-memory
+    cores) must match their path-based wrappers."""
+    import cv2
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+    z = rng.integers(0, 65535, (23, 29)).astype(np.uint16)
+    p = str(tmp_path / "z.png")
+    cv2.imwrite(p, z)
+    data = open(p, "rb").read()
+    np.testing.assert_array_equal(native.parse_png(data),
+                                  native.read_png(p))
+
+    flow = rng.normal(size=(17, 19, 2)).astype(np.float32)
+    pf = tmp_path / "t.flo"
+    dataset.write_flo(pf, flow)
+    np.testing.assert_array_equal(
+        native.parse_flo(open(pf, "rb").read()), flow)
+
+    mask = rng.integers(-2, 9, (13, 21)).astype(np.int32)
+    pm = tmp_path / "m.txt"
+    np.savetxt(pm, mask, fmt="%d")
+    np.testing.assert_array_equal(
+        native.parse_int_matrix_bytes(open(pm, "rb").read(), 13, 21),
+        mask)
+
+    # graceful failure: corrupt PNG body must return None, not crash
+    assert native.parse_png(data[:40] + b"\x00" * 10) is None
+
+
 def test_prefetcher_order_and_laziness():
     loaded = []
 
