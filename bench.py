@@ -99,8 +99,14 @@ def wait_for_backend(max_wait_s=BACKEND_WAIT_S):
             )
             if r.returncode == 0 and "PLATFORM=" in r.stdout:
                 plat = r.stdout.rsplit("PLATFORM=", 1)[1].strip()
-                return plat, time.time() - t0
-            last = (r.stderr or r.stdout)[-500:]
+                if plat != "cpu":
+                    return plat, time.time() - t0
+                # CPU-only init means the tunneled accelerator is gone:
+                # keep polling rather than publish a CPU number as the
+                # per-chip headline
+                last = "only the CPU backend initialized (tunnel down?)"
+            else:
+                last = (r.stderr or r.stdout)[-500:]
         except subprocess.TimeoutExpired:
             last = "probe subprocess timed out (240 s)"
         waited = time.time() - t0
