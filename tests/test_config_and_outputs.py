@@ -35,6 +35,21 @@ def test_omd_yaml_parses():
     assert s.width > 0 and s.height > 0
 
 
+def test_shipped_example_yamls_match_reference():
+    """The repo ships its own kitti/omd/tum configs (examples/*.yaml);
+    they must parse and agree with the reference's on every mapped key
+    (the user-facing entry point of examples/run_sequence.py)."""
+    ours = Path(__file__).resolve().parents[1] / "examples"
+    import dataclasses
+
+    for name in ("kitti.yaml", "omd.yaml", "tum.yaml"):
+        a = load_settings(ours / name)
+        b = load_settings(f"{REF}/{name}")
+        for f in dataclasses.fields(a):
+            va, vb = getattr(a, f.name), getattr(b, f.name)
+            assert va == vb, (name, f.name, va, vb)
+
+
 @pytest.fixture(scope="module")
 def run():
     cfg = SynthConfig(n_frames=6, n_objects=1)
