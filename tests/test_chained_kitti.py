@@ -41,6 +41,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 
 def _kitti_settings(cfg, synth_settings, chained):
@@ -298,9 +299,11 @@ def _run_in_subprocess(func_name, marker):
             print(ln)
 
 
+@pytest.mark.kitti_scale
 def test_chained_kitti_scale_parity():
     _run_in_subprocess("kitti_parity_main", "KITTI-PARITY-OK")
 
 
+@pytest.mark.kitti_scale
 def test_line_fidelity_ablation():
     _run_in_subprocess("line_ablation_main", "LINE-ABLATION-OK")
