@@ -496,6 +496,13 @@ def _pcg(hvp, g, pinv, lam, cg_iters, dt, reduce_dtype=None):
     Tracing f64 requires jax x64 enabled (ba_builder._x64_scope).
     """
     rd = dt if reduce_dtype is None else reduce_dtype
+    if jnp.zeros((), rd).dtype != jnp.dtype(rd):
+        # without x64 the f64 casts silently no-op to f32 and the mode
+        # would claim precision it doesn't deliver — fail at trace time
+        raise ValueError(
+            "reduce_dtype %s unavailable: enable jax x64 around the "
+            "solve (ba_builder._x64_scope)" % rd
+        )
     lam_r = lam.astype(rd)
 
     def A(v):
