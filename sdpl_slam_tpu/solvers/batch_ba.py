@@ -462,7 +462,7 @@ def _linearize_edge(graph: BAGraph, state: BAState, w: BAWeights, idx: int):
 )
 def _solve_normal_eq(graph: BAGraph, state: BAState, w: BAWeights,
                      lin_flat, prior, lam, cg_iters: int,
-                     reduce_dtype=None):
+                     reduce_dtype=None, cg_rtol=1e-4):
     """CG on precomputed per-edge jacobians (no jacfwd in this program)."""
     template = _zeros_delta(state)
     # rebuild the lin dicts with vertex indices from the graph
@@ -480,10 +480,11 @@ def _solve_normal_eq(graph: BAGraph, state: BAState, w: BAWeights,
     bd_damped = {k: bd[k] + lam * eye[k] for k in bd}
     pinv = {k: jnp.linalg.inv(bd_damped[k] + 1e-8 * eye[k]) for k in bd}
     return _pcg(hvp, g, pinv, lam, cg_iters, state.cam_T.dtype,
-                reduce_dtype)
+                reduce_dtype, cg_rtol)
 
 
-def _pcg(hvp, g, pinv, lam, cg_iters, dt, reduce_dtype=None):
+def _pcg(hvp, g, pinv, lam, cg_iters, dt, reduce_dtype=None,
+         cg_rtol=1e-4):
     """Block-Jacobi preconditioned CG on the damped normal equations.
 
     With ``reduce_dtype`` set (``ba_dtype: "mixed"``), the CG recurrence
@@ -528,9 +529,13 @@ def _pcg(hvp, g, pinv, lam, cg_iters, dt, reduce_dtype=None):
     def cond(carry):
         # inexact-Newton exit: the LM step only needs the system solved
         # to ~1e-2 residual (rz ~ ||r||_M^2); converged windows stop in
-        # a handful of iterations instead of burning the full budget
+        # a handful of iterations instead of burning the full budget.
+        # cg_rtol tightens this for callers that need the UNIQUE damped
+        # solution (parity tests): at the default tolerance two
+        # correct implementations may return different equally-good
+        # deltas along weakly-determined directions.
         x, r, z, p, rz, i = carry
-        return (i < cg_iters) & (rz > 1e-4 * rz0)
+        return (i < cg_iters) & (rz > cg_rtol * rz0)
 
     def body(carry):
         x, r, z, p, rz, i = carry
@@ -564,7 +569,7 @@ def _prior_lin(state: BAState, prior_frame, prior_meas):
 
 def ba_gn_step_split(graph: BAGraph, state: BAState, w: BAWeights,
                      lam, cg_iters: int = 40, n_types: int = 9,
-                     reduce_dtype=None):
+                     reduce_dtype=None, cg_rtol=1e-4):
     """The damped-GN step assembled from the small compilation units."""
     lin_flat = tuple(
         _linearize_edge(graph, state, w, i) for i in range(n_types)
@@ -574,13 +579,14 @@ def ba_gn_step_split(graph: BAGraph, state: BAState, w: BAWeights,
     cost = cost + graph.prior_info * jnp.sum(prior[0] * prior[0])
     d, gain_den = _solve_normal_eq(
         graph, state, w, lin_flat, prior, lam, cg_iters,
-        reduce_dtype=reduce_dtype,
+        reduce_dtype=reduce_dtype, cg_rtol=cg_rtol,
     )
     return d, cost, gain_den
 
 
 def ba_gn_step(graph: BAGraph, state: BAState, w: BAWeights,
-               lam: jnp.ndarray, cg_iters: int = 40, reduce_dtype=None):
+               lam: jnp.ndarray, cg_iters: int = 40, reduce_dtype=None,
+               cg_rtol=1e-4):
     """One damped GN step: linearize, solve (H + lam*blockdiag(H)) d = -g
     with block-Jacobi preconditioned CG, return (delta, cost, gain_den)."""
     template = _zeros_delta(state)
@@ -597,7 +603,7 @@ def ba_gn_step(graph: BAGraph, state: BAState, w: BAWeights,
     bd_damped = {k: bd[k] + lam * eye[k] for k in bd}
     pinv = {k: jnp.linalg.inv(bd_damped[k] + 1e-8 * eye[k]) for k in bd}
     x, gain_den = _pcg(hvp, g, pinv, lam, cg_iters, state.cam_T.dtype,
-                       reduce_dtype)
+                       reduce_dtype, cg_rtol)
     return x, cost, gain_den
 
 

@@ -307,22 +307,31 @@ def test_fused_lm_matches_split_path(tracked_map):
         Xs=graph.Xs0, Ls_U=graph.Ls_U0, Ls_w=graph.Ls_w0,
         Xd=graph.Xd0, Ld_U=graph.Ld_U0, Ld_w=graph.Ld_w0,
     )
-    lam = np.float32(1e-5)
-    d1, co1, g1 = bb.ba_gn_step_split(graph, state0, w, lam)
-    d2, co2, g2 = bb.ba_gn_step(graph, state0, w, lam)
+    # fully-converged CG (tight cg_rtol) at solid damping: the damped
+    # system is PD, its solution UNIQUE, so the two linearizers must
+    # produce the same delta -- unlike at the production tolerance,
+    # where equally-good deltas can differ along weak directions
+    import jax
+
+    lam = np.float32(1e-2)
+    d1, co1, g1 = bb.ba_gn_step_split(graph, state0, w, lam,
+                                      cg_iters=300, cg_rtol=1e-9)
+    step = jax.jit(bb.ba_gn_step, static_argnames=("w", "cg_iters"))
+    d2, co2, g2 = step(graph, state0, w, lam, cg_iters=300,
+                       cg_rtol=1e-9)
     assert abs(float(co2) - float(co1)) <= 1e-4 * max(float(co1), 1.0)
-    # the inexact-Newton CG stops at a residual TOLERANCE, so the two
-    # paths' deltas can differ along weakly-determined landmark
-    # directions while being equally good steps; the functional
-    # guarantee is equal cost reduction (and agreement on the
-    # well-conditioned camera block)
-    np.testing.assert_allclose(
-        np.asarray(d2["cam"]), np.asarray(d1["cam"]), atol=5e-3
-    )
+    for k in d1:
+        scale = max(float(np.max(np.abs(np.asarray(d1[k])))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(d2[k]), np.asarray(d1[k]), atol=5e-3 * scale,
+            err_msg=k,
+        )
+    # NOTE deliberately no descent assertion: a single fixed-lambda GN
+    # step on a near-converged graph can overshoot within noise --
+    # accept/reject is the LM loop's job, not the linearizers' parity
     r1 = float(bb._cost_only(graph, bb._retract(state0, d1), w))
     r2 = float(bb._cost_only(graph, bb._retract(state0, d2), w))
     assert abs(r2 - r1) <= 1e-3 * max(abs(r1), 1.0), (r1, r2)
-    assert r1 < float(co1) and r2 < float(co2)
 
     # (b) end-to-end: the full LM loops share linearization/CG/damping
     # logic but the split loop decides accept/reject in host double vs
