@@ -110,6 +110,38 @@ def test_batched_frame_load_matches_per_file(tmp_path, rng):
     assert native.last_batch_mode in (0, 1)
 
 
+def test_prefetcher_batched_load_threaded(tmp_path, rng):
+    """FramePrefetcher drives Sequence.frame from worker THREADS; the
+    per-call io_uring rings must be thread-safe and the prefetched
+    frames identical to direct loads."""
+    import cv2
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+    root = tmp_path / "seq"
+    for d in ("image_0", "depth", "semantic", "flow"):
+        (root / d).mkdir(parents=True)
+    h, w, n = 24, 32, 6
+    np.savetxt(root / "times.txt", np.arange(n) * 0.1, fmt="%.6f")
+    for i in range(n):
+        cv2.imwrite(str(root / "image_0" / f"{i:06d}.png"),
+                    rng.integers(0, 255, (h, w)).astype(np.uint8))
+        cv2.imwrite(str(root / "depth" / f"{i:06d}.png"),
+                    rng.integers(0, 65535, (h, w)).astype(np.uint16))
+        np.savetxt(root / "semantic" / f"{i:06d}.txt",
+                   rng.integers(0, 3, (h, w)), fmt="%d")
+        dataset.write_flo(root / "flow" / f"{i:06d}.flo",
+                          rng.normal(size=(h, w, 2)).astype(np.float32))
+
+    seq = dataset.load_sequence(root)
+    direct = [seq.frame(i) for i in range(seq.n_frames)]
+    pf = FramePrefetcher(seq.frame, seq.n_frames, lookahead=3, workers=2)
+    for i, frame in pf:
+        for a, b in zip(frame, direct[i]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_buffer_parsers_match_path_readers(tmp_path, rng):
     """parse_png / parse_flo / parse_int_matrix_bytes (the in-memory
     cores) must match their path-based wrappers."""
