@@ -60,8 +60,14 @@ def main():
     import copy
 
     out = {"metric": "lba_window20_engine_ms", "backend": plat}
-    for engine, flag in (("cg", False), ("schur", True)):
+    # cg_mixed: f64 CG recurrences over f32 storage (ba_dtype="mixed") —
+    # measures what the conditioning insurance costs on this backend
+    # (TPU emulates f64; the f64 work is O(dof) vector updates only)
+    for engine, flag, dtype in (("cg", False, "float32"),
+                                ("schur", True, "float32"),
+                                ("cg_mixed", False, "mixed")):
         settings.ba_schur = flag
+        settings.ba_dtype = dtype
         store = {}      # one ratchet per engine: rep 0 compiles, 1+ warm
         times = []
         for rep in range(4):
@@ -83,6 +89,8 @@ def main():
     ratio = out["schur_warm_ms"] / max(out["cg_warm_ms"], 1e-9)
     out["schur_over_cg"] = round(ratio, 3)
     out["recommend_schur_default"] = bool(ratio < 1.0)
+    out["mixed_over_cg"] = round(
+        out["cg_mixed_warm_ms"] / max(out["cg_warm_ms"], 1e-9), 3)
     print(json.dumps(out))
 
 
