@@ -2,12 +2,16 @@
 """Sequence runner: the example driver equivalent
 (/root/reference/example/sdpl_slam.cc).
 
-Usage: python examples/run_sequence.py <settings.yaml> <sequence_dir> [out_dir]
+Usage: python examples/run_sequence.py [--cpu] <settings.yaml> <sequence_dir> [out_dir]
 
 Loads a sequence in the reference on-disk layout (times.txt, image_0/,
 depth/, semantic/, flow/, pose_gt.txt, object_pose.txt), tracks every
 frame with background-prefetched I/O, prints per-frame pose error, and
 writes the 7 reference-format result files + metric report.
+
+``--cpu`` forces the CPU backend — needed when the configured
+accelerator is unreachable (the deployment env pins JAX_PLATFORMS, so
+the env var alone cannot override it).
 """
 
 import sys
@@ -19,6 +23,11 @@ import numpy as np
 
 
 def main(argv):
+    if "--cpu" in argv:
+        argv = [a for a in argv if a != "--cpu"]
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if len(argv) < 3:
         print(__doc__)
         return 1

@@ -697,7 +697,8 @@ class ChainedDriver(ResidentDriver):
         else:
             from ..solvers import ba_builder
             ba_builder.maybe_precompile_partial_async(
-                tr.map, tr.K, cfg, use_lines=cfg.use_lines
+                tr.map, tr.K, cfg, use_lines=cfg.use_lines,
+                stop_frame=stop_frame,
             )
 
         _mark("dispatch_det")

@@ -1579,7 +1579,8 @@ class ResidentDriver:
         else:
             from ..solvers import ba_builder
             ba_builder.maybe_precompile_partial_async(
-                tr.map, tr.K, cfg, use_lines=cfg.use_lines
+                tr.map, tr.K, cfg, use_lines=cfg.use_lines,
+                stop_frame=stop_frame,
             )
 
         need_fast = cfg.use_sample_fea == 0 and point_detections is None

@@ -1259,7 +1259,8 @@ class Tracking:
             # the first trigger doesn't pay the compile on the frame path
             from ..solvers import ba_builder as _bab
             _bab.maybe_precompile_partial_async(
-                self.map, self.K, cfg, use_lines=cfg.use_lines
+                self.map, self.K, cfg, use_lines=cfg.use_lines,
+                stop_frame=stop_frame,
             )
         if defer_push and not lba_fires and not run_global_fires:
             # the map push (incl. the world-3D recompute) runs after the

@@ -18,6 +18,8 @@ compiled executables.
 
 from __future__ import annotations
 
+import atexit as _atexit
+import sys as _sys
 import threading as _threading
 from typing import Tuple
 
@@ -923,8 +925,26 @@ def precompile_partial_from_floors(map_state, cfg, floors,
     return True
 
 
+_PRECOMPILE_THREADS: list = []
+
+
+def _join_precompile_threads():
+    """atexit: a daemon thread mid-XLA-compile at interpreter teardown
+    aborts the process (libc++ 'exception not rethrown'); join any live
+    precompile thread first so short runs exit cleanly."""
+    for th in _PRECOMPILE_THREADS:
+        if th.is_alive():
+            print("[sdpl] waiting for the background LBA precompile to "
+                  "finish before exit...", file=_sys.stderr)
+            th.join()
+
+
+_atexit.register(_join_precompile_threads)
+
+
 def maybe_precompile_partial_async(map_state, K: Intrinsics, cfg,
-                                   use_lines: bool = True):
+                                   use_lines: bool = True,
+                                   stop_frame: int | None = None):
     """One-shot hook for the frame loop: kick the first window's
     fused-program compile in a daemon thread so it overlaps frames
     0..window-1 instead of landing on the first trigger's critical
@@ -946,6 +966,8 @@ def maybe_precompile_partial_async(map_state, K: Intrinsics, cfg,
             or getattr(map_state, "_ba_precompiled", False):
         return None
     window = int(cfg.window_size)
+    if stop_frame is not None and stop_frame < window - 1:
+        return None                    # LBA can never trigger this run
     n = map_state.n_frames
     if n >= window:
         return None
@@ -972,5 +994,6 @@ def maybe_precompile_partial_async(map_state, K: Intrinsics, cfg,
     th = _threading.Thread(target=_run, daemon=True,
                            name="sdpl-lba-precompile")
     map_state._ba_precompile_thread = th
+    _PRECOMPILE_THREADS.append(th)
     th.start()
     return th

@@ -73,3 +73,42 @@ def test_run_sequence_end_to_end(tmp_path):
     )
     assert t_err < 0.05, t_err
     assert r_err < 0.3, r_err
+
+
+def test_make_demo_sequence_roundtrip(tmp_path):
+    """examples/make_demo_sequence.py writes a loadable sequence in the
+    reference on-disk layout (example/sdpl_slam.cc:164-267)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "make_demo_sequence",
+        Path(__file__).resolve().parents[1]
+        / "examples" / "make_demo_sequence.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    root = tmp_path / "demo"
+    rc = mod.main(["make_demo_sequence.py", str(root), "2", "1"])
+    assert rc == 0
+    assert (root / "settings.yaml").exists()
+
+    loaded = dataset.load_sequence(root)
+    assert loaded.n_frames == 2          # n_frames = files - 1 (flow pairs)
+    gray, depth, flow, mask = loaded.frame(1)
+    assert gray.ndim == 2 and depth.shape == gray.shape
+    assert flow.shape == gray.shape + (2,)
+    assert mask.shape == gray.shape and mask.max() >= 1   # object present
+    assert np.isfinite(depth).all() and depth.max() > 1.0
+    # GT files parse: camera 4x4 + at least one object row per frame
+    T = loaded.gt_pose(1)
+    assert T.shape == (4, 4) and abs(np.linalg.det(T[:3, :3]) - 1) < 1e-3
+    assert len(loaded.gt_obj_poses(1)) >= 1
+
+    # the generated settings drive System construction (same yaml keys
+    # as the reference, Tracking.cc:54-176)
+    from sdpl_slam_tpu.utils.config import load_settings
+    st = load_settings(root / "settings.yaml")
+    assert st.width == gray.shape[1] and st.height == gray.shape[0]
+    assert st.depth_map_factor == 100.0
