@@ -269,12 +269,14 @@ def world_lines(K: Intrinsics, T_cw: jnp.ndarray, uv4: jnp.ndarray,
 def preprocess_depth(depth_raw: jnp.ndarray, choose_data: int,
                      depth_map_factor: float, bf: float) -> jnp.ndarray:
     """Depth conversion (Tracking.cc:192-219): negatives -> 0; OMD divides by
-    DepthMapFactor; KITTI converts disparity: bf / (d / factor)."""
+    DepthMapFactor; KITTI converts disparity: bf / (d / factor).  Any other
+    mode (VirtualKITTI=3) matches neither reference branch and leaves the
+    values unscaled (Tracking.cc:203-216 has no case for it)."""
     d = jnp.where(depth_raw < 0, 0.0, depth_raw)
     if choose_data == 1:      # OMD
         out = d / depth_map_factor
     elif choose_data == 2:    # KITTI
         out = jnp.where(d > 0, bf / (d / depth_map_factor), 0.0)
     else:
-        out = d / depth_map_factor
+        out = d
     return jnp.where(depth_raw < 0, 0.0, out)

@@ -84,8 +84,12 @@ def _np_preprocess_depth(depth_raw: np.ndarray, choose_data: int,
             out = (np.float32(bf * factor) / d).astype(np.float32)
         # d <= 0 (invalid or negative disparity) -> 0
         np.place(out, ~np.isfinite(out) | (out < 0), 0.0)
-    else:
+    elif choose_data == OMD:
         out = np.where(d < 0, np.float32(0.0), d) * np.float32(1.0 / factor)
+    else:
+        # VirtualKITTI (3) matches neither reference branch: values stay
+        # unscaled, negatives -> 0 (Tracking.cc:199-216)
+        out = np.where(d < 0, np.float32(0.0), d)
     return out
 
 

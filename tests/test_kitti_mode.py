@@ -99,3 +99,27 @@ def test_traj_canvas_drawn():
     assert red.any(), "no camera squares drawn"
     # header band is blacked out (rect 10..550 x 30..60, possibly with text)
     assert (traj[35:55, 200:540] == 0).any(), "no header band"
+
+
+def test_preprocess_depth_modes():
+    """Depth conversion per dataset switch (Tracking.cc:195-219): OMD
+    divides by DepthMapFactor, KITTI converts disparity bf/(d/factor),
+    VirtualKITTI (3) matches neither branch -> values pass through
+    unscaled; negatives clamp to 0 in every mode."""
+    import numpy as np
+
+    from sdpl_slam_tpu.models import frame as fr
+    from sdpl_slam_tpu.models.tracking import _np_preprocess_depth
+
+    raw = np.array([[-1.0, 0.0, 50.0, 200.0]], np.float32)
+    factor, bf = 100.0, 387.5744
+
+    for mode, expect in (
+        (1, np.array([[0.0, 0.0, 0.5, 2.0]], np.float32)),          # OMD
+        (2, np.array([[0.0, 0.0, bf / 0.5, bf / 2.0]], np.float32)),  # KITTI
+        (3, np.array([[0.0, 0.0, 50.0, 200.0]], np.float32)),       # VKITTI
+    ):
+        dev = np.asarray(fr.preprocess_depth(raw, mode, factor, bf))
+        host = _np_preprocess_depth(raw, mode, factor, bf)
+        np.testing.assert_allclose(dev, expect, rtol=1e-6)
+        np.testing.assert_allclose(host, expect, rtol=1e-6)
