@@ -49,6 +49,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64, ctypes.c_float, ctypes.c_float,
         ]
+        lib.sdpl_depth_scale.restype = None
+        lib.sdpl_depth_scale.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_float,
+        ]
         lib.sdpl_read_png.restype = ctypes.c_int32
         lib.sdpl_read_png.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
@@ -92,6 +97,32 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def depth_preprocess(d: np.ndarray, choose_data: int, factor: float,
+                     bf: float) -> Optional[np.ndarray]:
+    """Fused single-pass depth conversion (Tracking.cc:195-219) on the
+    per-frame host path: KITTI (2) disparity->depth ``bf/(d/factor)``,
+    OMD (1) ``d/factor``, negatives/zeros -> 0 in both.  Returns None
+    for other modes (VirtualKITTI passthrough needs no kernel) or when
+    the native library is unavailable."""
+    lib = _load()
+    if lib is None or choose_data not in (1, 2):
+        return None
+    src = np.ascontiguousarray(d, np.float32)
+    out = np.empty_like(src)
+    pf = ctypes.POINTER(ctypes.c_float)
+    if choose_data == 2:
+        lib.sdpl_depth_kitti(
+            src.ctypes.data_as(pf), out.ctypes.data_as(pf), src.size,
+            np.float32(bf), np.float32(factor),
+        )
+    else:
+        lib.sdpl_depth_scale(
+            src.ctypes.data_as(pf), out.ctypes.data_as(pf), src.size,
+            np.float32(factor),
+        )
+    return out
 
 
 def parse_int_matrix(path: str, rows: int, cols: int) -> Optional[np.ndarray]:

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..io import native as _native
 from ..ops import geometry, lie, ransac
 from ..ops.geometry import Intrinsics
 from ..solvers import frame_solvers as fs
@@ -79,6 +80,9 @@ def _np_preprocess_depth(depth_raw: np.ndarray, choose_data: int,
     d = depth_raw if depth_raw.dtype == np.float32 else depth_raw.astype(
         np.float32
     )
+    out = _native.depth_preprocess(d, choose_data, factor, bf)
+    if out is not None:
+        return out
     if choose_data == KITTI:
         with np.errstate(divide="ignore", invalid="ignore"):
             out = (np.float32(bf * factor) / d).astype(np.float32)
