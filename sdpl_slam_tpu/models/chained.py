@@ -451,6 +451,10 @@ def _np_filt_line_ok(uv4, depth, flow, mask):
 # driver
 # ---------------------------------------------------------------------------
 
+# jitted chained steps shared across identically-configured drivers
+_CHAINED_STEP_MEMO: dict = {}
+
+
 class ChainedDriver(ResidentDriver):
     """Chained-mode driver: resident core + host shadow sampling.
 
@@ -641,10 +645,17 @@ class ChainedDriver(ResidentDriver):
     # -- per-frame ------------------------------------------------------
     def _chained_fn(self):
         if self._step_fn is None:
-            step = build_chained_step(
-                self.tr.cfg, self.tr.K, self.caps, self._hw
-            )
-            self._step_fn = jax.jit(step)
+            # share the jitted step across identically-configured drivers
+            from ..utils.config import settings_fingerprint
+            memo_key = (settings_fingerprint(self.tr.cfg),
+                        repr(sorted(self.caps.items())), self._hw)
+            fn = _CHAINED_STEP_MEMO.get(memo_key)
+            if fn is None:
+                step = build_chained_step(
+                    self.tr.cfg, self.tr.K, self.caps, self._hw
+                )
+                fn = _CHAINED_STEP_MEMO[memo_key] = jax.jit(step)
+            self._step_fn = fn
         return self._step_fn
 
     def track(self, gray, depth_raw, flow, mask, pose_gt, gt_objs,

@@ -1444,6 +1444,22 @@ def gt_sem_table(gt_rows, cap: int = 16):
 # Host driver: non-blocking dispatch + lagging map mirror
 # ---------------------------------------------------------------------------
 
+# jitted resident steps shared across identically-configured drivers
+_STEP_MEMO: dict = {}
+
+
+def jit_resident_step(cfg, K: Intrinsics, caps: dict):
+    """Memoized ``jax.jit(build_resident_step(...))``: identical
+    (settings, caps) share one traced+compiled program (K is derived
+    from the settings, so the fingerprint covers it)."""
+    from ..utils.config import settings_fingerprint
+    key = ("raw", settings_fingerprint(cfg), repr(sorted(caps.items())))
+    fn = _STEP_MEMO.get(key)
+    if fn is None:
+        fn = _STEP_MEMO[key] = jax.jit(build_resident_step(cfg, K, caps))
+    return fn
+
+
 class ResidentDriver:
     """Drives the device-resident frame loop for a host ``Tracking``.
 
@@ -1516,6 +1532,15 @@ class ResidentDriver:
         tr = self.tr
         cfg = tr.cfg
         caps = self.caps
+        # share the jitted step across identically-configured drivers
+        # (a fresh closure per driver would recompile the whole program)
+        from ..utils.config import settings_fingerprint
+        memo_key = (keyk, settings_fingerprint(cfg),
+                    repr(sorted(caps.items())), tr.N_CAND, tr.NL_CAND)
+        fn = _STEP_MEMO.get(memo_key)
+        if fn is not None:
+            self._fns[keyk] = fn
+            return fn
         step = build_resident_step(cfg, tr.K, caps)
         N_CAND, NL_CAND = tr.N_CAND, tr.NL_CAND
         if need_fast or need_lines:
@@ -1559,6 +1584,7 @@ class ResidentDriver:
                         lcand, lv, gt_prev, gt_cur, key)
 
         fn = jax.jit(run)
+        _STEP_MEMO[memo_key] = fn
         self._fns[keyk] = fn
         return fn
 

@@ -197,6 +197,12 @@ class _FrameDetections:
         return b[o:o + 4 * m].reshape(m, 4), b[o + 5 * m:o + 6 * m] > 0.5
 
 
+# jitted per-frame program sets shared across Tracking instances with
+# equal _jit_key()s (see _build_jits); detector programs likewise
+_TRACK_JIT_MEMO: dict = {}
+_DETECT_JIT_MEMO: dict = {}
+
+
 class Tracking:
     """Host orchestrator holding per-sequence state, driving jitted stages."""
 
@@ -266,7 +272,44 @@ class Tracking:
     # ------------------------------------------------------------------
     # jitted stages
     # ------------------------------------------------------------------
+    def _jit_key(self):
+        """Everything the _build_jits closures capture that shapes the
+        traced programs: intrinsics, the solver/RANSAC config scalars,
+        and the static capacities.  Two Tracking instances with equal
+        keys produce identical programs, so the jitted callables (and
+        their compiled executables) are shared via _TRACK_JIT_MEMO —
+        without this every System() construction recompiles the whole
+        per-frame program set (tens of seconds per instance on CPU CI)."""
+        cfg = self.cfg
+        return (
+            float(self.K.fx), float(self.K.fy),
+            float(self.K.cx), float(self.K.cy),
+            float(cfg.rp_thres), float(cfg.flow_prior_info_cam),
+            float(cfg.flow_prior_info_obj), int(cfg.lm_iterations),
+            float(cfg.lm_rel_tol), bool(cfg.use_lines),
+            float(cfg.sf_mg_thres), float(cfg.pnp_reproj_error),
+            int(cfg.pnp_iterations),
+            self.NS, self.NLS, self.P_OBJ, self.L_OBJ,
+        )
+
+    _MEMO_NAMES = (
+        "_cam_solve", "_obj_solve", "_obj_init_solve", "_cam_pose_only",
+        "_obj_pose_only", "_init_cam", "_fused_track", "_fused_cam_only",
+    )
+
     def _build_jits(self):
+        memo_key = self._jit_key()
+        cached = _TRACK_JIT_MEMO.get(memo_key)
+        if cached is not None:
+            for name, fn in cached.items():
+                setattr(self, name, fn)
+            return
+        self._build_jits_uncached()
+        _TRACK_JIT_MEMO[memo_key] = {
+            name: getattr(self, name) for name in self._MEMO_NAMES
+        }
+
+    def _build_jits_uncached(self):
         cfg = self.cfg
         K = self.K
 
@@ -754,6 +797,11 @@ class Tracking:
 
             fcfg = self._fast_cfg() if need_fast else None
             lcfg = self._line_cfg() if need_lines else None
+            # detector programs depend only on the configs (shapes enter
+            # via the traced image): share them across instances
+            memo_key = (need_fast, need_lines, repr(fcfg), repr(lcfg))
+            entry = _DETECT_JIT_MEMO.get(memo_key)
+        if entry is None:
             n_fast = fcfg.n_features if need_fast else 0
             n_lines = (
                 max(1, lcfg.n_octaves) * lcfg.max_lines if need_lines else 0
@@ -774,7 +822,8 @@ class Tracking:
                 return jnp.concatenate(parts)
 
             entry = (run, n_fast, n_lines)
-            self._detect_jits[(need_fast, need_lines)] = entry
+            _DETECT_JIT_MEMO[memo_key] = entry
+        self._detect_jits[(need_fast, need_lines)] = entry
         run, n_fast, n_lines = entry
         buf = run(jnp.asarray(np.ascontiguousarray(gray)))
         buf.copy_to_host_async()

@@ -34,6 +34,16 @@ STEREO = 1
 RGBD = 2
 
 
+def settings_fingerprint(s: "Settings") -> str:
+    """Stable value-key over every Settings field.  Used to share jitted
+    step programs (and their compiled executables) across
+    identically-configured System/driver instances — without it every
+    instance re-traces and recompiles its whole program set."""
+    return repr(sorted(
+        (k, repr(v)) for k, v in dataclasses.asdict(s).items()
+    ))
+
+
 @dataclasses.dataclass
 class Settings:
     # --- Camera (yaml Camera.*) ---

@@ -274,13 +274,20 @@ def line_ablation_main():
           % (d_t, d_r, d_to, d_ro, t_prod, r_prod, t_orc, r_orc))
 
 
-def _run_in_subprocess(func_name, marker):
+@pytest.fixture(scope="module")
+def kitti_runs():
+    """ONE subprocess running both scenario mains back-to-back: the
+    ablation's host-path programs are byte-identical to the parity
+    run's (only data differs), so sharing the process saves a full
+    XLA:CPU compile set vs one subprocess per test."""
     body = (
         "import os;"
         "import jax; jax.config.update('jax_platforms','cpu');"
         f"import sys; sys.path.insert(0, {str(Path(__file__).parent)!r});"
-        f"from test_chained_kitti import {func_name};"
-        f"{func_name}()"
+        "from test_chained_kitti import kitti_parity_main,"
+        " line_ablation_main;"
+        "kitti_parity_main();"
+        "line_ablation_main()"
     )
     # execution-bound at KITTI scale (4x ~44-frame tracked runs): the
     # suite's JAX_DISABLE_MOST_OPTIMIZATIONS compile shortcut is a net
@@ -289,21 +296,21 @@ def _run_in_subprocess(func_name, marker):
            if k != "JAX_DISABLE_MOST_OPTIMIZATIONS"}
     r = subprocess.run(
         [sys.executable, "-c", body], capture_output=True, text=True,
-        timeout=2400, env=env,
+        timeout=3600, env=env,
     )
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
-    assert marker in r.stdout, r.stdout[-3000:]
     # surface the measured deltas in the pytest log
     for ln in r.stdout.splitlines():
         if "OK" in ln:
             print(ln)
+    return r.stdout
 
 
 @pytest.mark.kitti_scale
-def test_chained_kitti_scale_parity():
-    _run_in_subprocess("kitti_parity_main", "KITTI-PARITY-OK")
+def test_chained_kitti_scale_parity(kitti_runs):
+    assert "KITTI-PARITY-OK" in kitti_runs
 
 
 @pytest.mark.kitti_scale
-def test_line_fidelity_ablation():
-    _run_in_subprocess("line_ablation_main", "LINE-ABLATION-OK")
+def test_line_fidelity_ablation(kitti_runs):
+    assert "LINE-ABLATION-OK" in kitti_runs

@@ -44,7 +44,7 @@ def _run_pair(noise_flow=0.0, n_objects=1, n_frames=5):
 
     caps = dict(NS=tr.NS, NLS=tr.NLS, NO=tr.NO, NLO=tr.NLO,
                 P=tr.P_OBJ, L=tr.L_OBJ, MAXO=tr.MAXO, GCAP=2 * tr.MAXO)
-    step = jax.jit(resident.build_resident_step(settings, tr.K, caps))
+    step = resident.jit_resident_step(settings, tr.K, caps)
     state = resident.state_from_host(
         tr.last, tr.last_meta, tr.max_id, tr.velocity,
         tr.last_mask_np, tr.last_flow_np, tr.MAXO,
