@@ -38,4 +38,10 @@ timeout 3600 python examples/measure_ba_schur.py \
 echo "[$(stamp)] ba_schur rc=$? -> $OUT/ba_schur.json"
 tail -1 "$OUT/ba_schur.json"
 
+echo "[$(stamp)] 4/4 (optional) LM-budget sweep"
+timeout 3600 python examples/tune_chained.py 30 \
+    > "$OUT/tune_chained.jsonl" 2> "$OUT/tune_chained.log"
+echo "[$(stamp)] tune rc=$? -> $OUT/tune_chained.jsonl"
+cat "$OUT/tune_chained.jsonl"
+
 echo "[$(stamp)] runbook done; logs in $OUT"
