@@ -223,3 +223,33 @@ def test_native_png_decoder(tmp_path):
     gg = read_image_gray(p3)
     ref = cv2.cvtColor(c, cv2.COLOR_BGR2GRAY)
     assert np.max(np.abs(gg.astype(int) - ref.astype(int))) <= 1
+
+
+def test_gray_alpha_and_16bit_conventions(tmp_path):
+    """Advisor r3 regressions: a gray+alpha PNG (color type 4) must decode
+    through read_image_gray without crashing (channel 0 = luma), and
+    16-bit grayscale must yield the same dtype/values on the native and
+    cv2 paths."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    from sdpl_slam_tpu.io import dataset, native
+
+    rng = np.random.default_rng(1)
+    g = rng.integers(0, 255, (21, 33), np.uint8)
+    ga = np.dstack([g, np.full_like(g, 200)])
+    p = str(tmp_path / "ga.png")
+    PIL.fromarray(ga, mode="LA").save(p)
+    out = dataset.read_image_gray(p)
+    assert out.shape == g.shape and np.array_equal(out, g)
+
+    z = rng.integers(0, 65535, (21, 33)).astype(np.uint16)
+    p16 = str(tmp_path / "g16.png")
+    PIL.fromarray(z, mode="I;16").save(p16)
+    a = dataset.read_image_gray(p16)
+    if native.available():
+        # the native path and the cv2 fallback must agree (one convention)
+        import cv2
+
+        b = cv2.imread(p16, cv2.IMREAD_UNCHANGED)
+        assert a.dtype == b.dtype and np.array_equal(a, b)
