@@ -274,7 +274,12 @@ def main():
     t_err, r_err = metrics.camera_rpe(
         system.map.camera_poses, system.map.camera_poses_gt
     )
-    ok = t_err < 0.005 and r_err < 0.1
+    gate_failed = []
+    if not t_err < 0.005:
+        gate_failed.append("rpe_t_m=%.5f (gate < 0.005)" % t_err)
+    if not r_err < 0.1:
+        gate_failed.append("rpe_r_deg=%.5f (gate < 0.1)" % r_err)
+    ok = not gate_failed
 
     # ---- utilization ----
     _progress("exec probe")
@@ -330,6 +335,10 @@ def main():
         "rpe_t_m": round(float(t_err), 5),
         "rpe_r_deg": round(float(r_err), 5),
     }
+    if gate_failed:
+        # VERDICT r4 weak #6: a zeroed headline must say WHY in the
+        # artifact itself, not require reading bench.py internals
+        out["gate_failed"] = "; ".join(gate_failed)
     if lba_ms is not None:
         out["lba_warm_window_ms"] = lba_ms
         if track_lba_fps is not None:

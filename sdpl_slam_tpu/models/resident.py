@@ -1828,6 +1828,21 @@ class ResidentDriver:
         m.camera_poses_rf.append(np.linalg.inv(pose_np).astype(np.float32))
         m.camera_poses_gt.append(np.linalg.inv(pose_gt).astype(np.float32))
 
+        # live tripwire: inline per-frame camera RPE vs GT, like the
+        # reference's per-frame cout (/root/reference/src/Tracking.cc:1190)
+        every = getattr(cfg, "rpe_print_every", 0)
+        if every and len(m.camera_poses) >= 2 \
+                and (len(m.camera_poses) - 1) % every == 0:
+            from ..utils import metrics as _metrics
+
+            t_e, r_e = _metrics.camera_rpe(
+                m.camera_poses[-2:], m.camera_poses_gt[-2:]
+            )
+            print("[frame %4d] camera RPE: t=%.4f m  r=%.4f deg  "
+                  "(pt inliers %d)"
+                  % (len(m.camera_poses) - 1, t_e, r_e,
+                     int(o["n_point_inliers"])), flush=True)
+
         cam_motion = np.linalg.inv(velocity).astype(np.float32)
         motions = [cam_motion]
         pose_pres = [cam_motion]

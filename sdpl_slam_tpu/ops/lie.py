@@ -145,6 +145,32 @@ def se3_retract(T: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
     return se3_exp(xi) @ T
 
 
+def so3_orthonormalize(R: jnp.ndarray) -> jnp.ndarray:
+    """Project a near-rotation back onto SO(3): one Newton iteration of the
+    polar decomposition, ``R <- R (3I - R^T R) / 2`` (error eps -> O(eps^2)).
+
+    Why this exists: chained f32 pose compositions drift from orthonormality
+    (measured ~1.3e-6/frame on TPU, whose multi-pass f32 matmul rounds with a
+    systematic bias, vs a random walk on CPU FMA units).  The reference never
+    sees this because g2o stores rotations as unit quaternions in double
+    (``g2o::SE3Quat``); the reference's clamped-trace rotation-error metric
+    (/root/reference/src/Tracking.cc:5030) reads any orthonormality deficit
+    directly as phantom rotation error (0.65 deg of self-angle by frame 40 in
+    the round-4 bench, the entire "on-chip rotation regression").  Two 3x3
+    matmuls, branch-free, grad-safe.
+    """
+    RtR = jnp.matmul(R.T, R, precision=jax.lax.Precision.HIGHEST)
+    return 0.5 * jnp.matmul(
+        R, 3.0 * jnp.eye(3, dtype=R.dtype) - RtR,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def se3_orthonormalize(T: jnp.ndarray) -> jnp.ndarray:
+    """``so3_orthonormalize`` on the rotation block of a 4x4 pose."""
+    return T.at[:3, :3].set(so3_orthonormalize(T[:3, :3]))
+
+
 def transform_point(T: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Apply a 4x4 pose to 3D point(s); x has shape (..., 3).
 

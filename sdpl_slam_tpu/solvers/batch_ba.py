@@ -152,8 +152,15 @@ def _zeros_delta(state: BAState) -> dict:
 def _retract(state: BAState, d: dict) -> BAState:
     """Apply local deltas: poses/motions right-multiplied exp (g2o VertexSE3
     convention), points added, lines orthonormal-retracted."""
-    cam_T = jax.vmap(lambda T, x: T @ lie.se3_exp(x))(state.cam_T, d["cam"])
-    mot_T = jax.vmap(lambda T, x: T @ lie.se3_exp(x))(state.mot_T, d["mot"])
+    # se3_orthonormalize: BA iterates 15+ retractions per window; projecting
+    # back onto SE(3) each step stops f32 orthonormality drift from leaking
+    # into the refined poses (lie.so3_orthonormalize doc)
+    cam_T = jax.vmap(
+        lambda T, x: lie.se3_orthonormalize(T @ lie.se3_exp(x))
+    )(state.cam_T, d["cam"])
+    mot_T = jax.vmap(
+        lambda T, x: lie.se3_orthonormalize(T @ lie.se3_exp(x))
+    )(state.mot_T, d["mot"])
     Ls = jax.vmap(geometry.orthonormal_retract)(state.Ls_U, state.Ls_w, d["ls"])
     Ld = jax.vmap(geometry.orthonormal_retract)(state.Ld_U, state.Ld_w, d["ld"])
     return BAState(

@@ -308,7 +308,11 @@ def solve_pose_only(
         active_p = chi2_p <= chi2_gate[rnd]
         active_l = chi2_l <= weight * 7.815
     return PoseOnlyResult(
-        pose=T,
+        # project the iterated f32 composition chain back onto SE(3):
+        # without this, orthonormality drift accumulates across frames and
+        # the reference's clamped-trace rotation metric reads it as error
+        # (see lie.so3_orthonormalize)
+        pose=lie.se3_orthonormalize(T),
         point_inlier=valid & active_p,
         line_inlier=lvalid0 & active_l,
         final_cost=cost,
@@ -562,7 +566,10 @@ def solve_flow_pose(
     )
 
     return FlowPoseResult(
-        pose=state.T,
+        # SE(3) projection of the LM composition chain (lie.so3_orthonormalize
+        # doc): keeps frame-chained poses orthonormal so the clamped-trace
+        # RPE metric measures rotation, not f32 drift
+        pose=lie.se3_orthonormalize(state.T),
         flow=state.f,
         line_flow=state.g,
         point_inlier=point_inlier,

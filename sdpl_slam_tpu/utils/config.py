@@ -202,6 +202,13 @@ class Settings:
     # --- Solver capacity (static shapes; fixed caps are the reference's own) ---
     max_objects: int = 16             # max simultaneously tracked objects
 
+    # Live per-frame accuracy tripwire: print the inline camera RPE vs GT
+    # every N frames as the results drain, exactly like the reference's
+    # per-frame cout (/root/reference/src/Tracking.cc:1190-1206).  0 = off.
+    # One bad frame becomes visible at that frame, not after a whole
+    # zeroed bench run (VERDICT r4 weak #6).
+    rpe_print_every: int = 0
+
     @property
     def sensor_depth_scaled(self) -> bool:
         return abs(self.depth_map_factor) >= 1e-5
