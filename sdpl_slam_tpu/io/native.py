@@ -89,6 +89,26 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.sdpl_free_buf.restype = None
         lib.sdpl_free_buf.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        _pf = ctypes.POINTER(ctypes.c_float)
+        _pi = ctypes.POINTER(ctypes.c_int32)
+        for name, ncols in (("sdpl_sample_point_rows", 5),
+                            ("sdpl_sample_line_rows", 11),
+                            ("sdpl_sample_oline_rows", 9)):
+            fn = getattr(lib, name)
+            fn.restype = None
+            fn.argtypes = [_pf, _pf, _pi, ctypes.c_int, ctypes.c_int,
+                           _pf, ctypes.c_int64, _pf]
+        lib.sdpl_roll_positions.restype = None
+        lib.sdpl_roll_positions.argtypes = [
+            _pf, ctypes.c_int, ctypes.c_int, _pf, ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib.sdpl_select_object_points.restype = ctypes.c_int64
+        lib.sdpl_select_object_points.argtypes = [
+            _pf, _pf, _pi, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int64,
+            _pf, _pf, _pf, _pf, _pi,
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -307,3 +327,112 @@ def read_flo(path: str) -> Optional[np.ndarray]:
     if rc != 0:
         return None
     return out.reshape(int(hh.value), int(ww.value), 2)
+
+
+# ---------------------------------------------------------------------------
+# Chained-mode host prep (fused C++ versions of the models/chained.py
+# samplers and frame_host.select_object_points; VERDICT r4 weak #3).
+# Each returns None when the native library is unavailable -- callers keep
+# the numpy implementation as the fallback and the parity oracle
+# (tests/test_native_prep.py).
+# ---------------------------------------------------------------------------
+
+_PF = ctypes.POINTER(ctypes.c_float)
+_PI = ctypes.POINTER(ctypes.c_int32)
+
+
+def _planes_ok(depth, flow, mask):
+    return (
+        depth.dtype == np.float32 and depth.flags.c_contiguous
+        and flow.dtype == np.float32 and flow.flags.c_contiguous
+        and mask.dtype == np.int32 and mask.flags.c_contiguous
+    )
+
+
+def sample_point_rows(depth, flow, mask, q) -> Optional[np.ndarray]:
+    """(N,5) family rows [inb, d, m, fu, fv] at positions q."""
+    lib = _load()
+    if lib is None or not _planes_ok(depth, flow, mask):
+        return None
+    q = np.ascontiguousarray(q, np.float32)
+    h, w = mask.shape
+    out = np.empty((len(q), 5), np.float32)
+    lib.sdpl_sample_point_rows(
+        depth.ctypes.data_as(_PF), flow.ctypes.data_as(_PF),
+        mask.ctypes.data_as(_PI), h, w,
+        q.ctypes.data_as(_PF), len(q), out.ctypes.data_as(_PF),
+    )
+    return out
+
+
+def sample_line_rows(depth, flow, mask, q4) -> Optional[np.ndarray]:
+    """(N,11) family rows [inb_s, inb_e, ds, de, dm, ms, me, f4]."""
+    lib = _load()
+    if lib is None or not _planes_ok(depth, flow, mask):
+        return None
+    q4 = np.ascontiguousarray(q4, np.float32)
+    h, w = mask.shape
+    out = np.empty((len(q4), 11), np.float32)
+    lib.sdpl_sample_line_rows(
+        depth.ctypes.data_as(_PF), flow.ctypes.data_as(_PF),
+        mask.ctypes.data_as(_PI), h, w,
+        q4.ctypes.data_as(_PF), len(q4), out.ctypes.data_as(_PF),
+    )
+    return out
+
+
+def sample_oline_rows(depth, flow, mask, q4) -> Optional[np.ndarray]:
+    """(N,9) family rows [inb_s, inb_e, ds, de, ms, f4]."""
+    lib = _load()
+    if lib is None or not _planes_ok(depth, flow, mask):
+        return None
+    q4 = np.ascontiguousarray(q4, np.float32)
+    h, w = mask.shape
+    out = np.empty((len(q4), 9), np.float32)
+    lib.sdpl_sample_oline_rows(
+        depth.ctypes.data_as(_PF), flow.ctypes.data_as(_PF),
+        mask.ctypes.data_as(_PI), h, w,
+        q4.ctypes.data_as(_PF), len(q4), out.ctypes.data_as(_PF),
+    )
+    return out
+
+
+def roll_positions(flow, q, stride) -> bool:
+    """In-place shadow roll q += flow[floor(q)] (chained._roll_base_to).
+    stride = floats per row (2 points / 4 line endpoints).  Returns False
+    when the native library is unavailable (caller falls back)."""
+    lib = _load()
+    if (lib is None or flow.dtype != np.float32
+            or not flow.flags.c_contiguous
+            or q.dtype != np.float32 or not q.flags.c_contiguous):
+        return False
+    h, w = flow.shape[:2]
+    lib.sdpl_roll_positions(
+        flow.ctypes.data_as(_PF), h, w, q.ctypes.data_as(_PF),
+        len(q), stride,
+    )
+    return True
+
+
+def select_object_points(depth, flow, mask, th_depth_obj, cap, step=4):
+    """Fused stride-grid object-candidate selection
+    (frame_host.select_object_points semantics).  None -> fall back."""
+    lib = _load()
+    if lib is None or not _planes_ok(depth, flow, mask):
+        return None
+    h, w = mask.shape
+    uv = np.zeros((cap, 2), np.float32)
+    d = np.zeros(cap, np.float32)
+    f = np.zeros((cap, 2), np.float32)
+    corres = np.zeros((cap, 2), np.float32)
+    sem = np.zeros(cap, np.int32)
+    n = lib.sdpl_select_object_points(
+        depth.ctypes.data_as(_PF), flow.ctypes.data_as(_PF),
+        mask.ctypes.data_as(_PI), h, w,
+        np.float32(th_depth_obj), step, cap,
+        uv.ctypes.data_as(_PF), d.ctypes.data_as(_PF),
+        f.ctypes.data_as(_PF), corres.ctypes.data_as(_PF),
+        sem.ctypes.data_as(_PI),
+    )
+    valid = np.arange(cap) < n
+    return uv, d, f, corres, sem, valid

@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..io import native as _native
 from ..ops.geometry import Intrinsics
 from . import frame_host as fh
 from .resident import (
@@ -358,6 +359,9 @@ def _flat_idx(plane_shape, q):
 
 def _sample_point_rows(depth, flow, mask, q):
     """(N,5) family rows [inb, d, m, fu, fv] at positions q."""
+    out = _native.sample_point_rows(depth, flow, mask, q)
+    if out is not None:
+        return out
     idx, inb = _flat_idx(mask.shape, q)
     out = np.empty((len(q), 5), np.float32)
     out[:, 0] = inb
@@ -369,6 +373,9 @@ def _sample_point_rows(depth, flow, mask, q):
 
 def _sample_line_rows(depth, flow, mask, q4):
     """(N,11) family rows [inb_s, inb_e, ds, de, dm, ms, me, f4]."""
+    out = _native.sample_line_rows(depth, flow, mask, q4)
+    if out is not None:
+        return out
     qs, qe = q4[:, :2], q4[:, 2:]
     i_s, inb_s = _flat_idx(mask.shape, qs)
     i_e, inb_e = _flat_idx(mask.shape, qe)
@@ -391,6 +398,9 @@ def _sample_line_rows(depth, flow, mask, q4):
 
 def _sample_oline_rows(depth, flow, mask, q4):
     """(N,9) family rows [inb_s, inb_e, ds, de, ms, f4]."""
+    out = _native.sample_oline_rows(depth, flow, mask, q4)
+    if out is not None:
+        return out
     qs, qe = q4[:, :2], q4[:, 2:]
     i_s, inb_s = _flat_idx(mask.shape, qs)
     i_e, inb_e = _flat_idx(mask.shape, qe)
@@ -587,18 +597,19 @@ class ChainedDriver(ResidentDriver):
         while self.base_pos_frame < frame:
             k = self.base_pos_frame
             _, flow_p, _ = self.planes[k]
-            for key in ("s", "o"):
-                f, _ = _np_floor_lookup(flow_p, self.base_pos[key])
-                self.base_pos[key] = (self.base_pos[key] + f).astype(
-                    np.float32
-                )
-            for key in ("l", "ol"):
-                q4 = self.base_pos[key]
-                fs, _ = _np_floor_lookup(flow_p, q4[:, :2])
-                fe, _ = _np_floor_lookup(flow_p, q4[:, 2:])
-                self.base_pos[key] = (
-                    q4 + np.concatenate([fs, fe], 1)
-                ).astype(np.float32)
+            for key, stride in (("s", 2), ("o", 2), ("l", 4), ("ol", 4)):
+                q = np.ascontiguousarray(self.base_pos[key], np.float32)
+                if _native.roll_positions(flow_p, q, stride):
+                    self.base_pos[key] = q
+                elif stride == 2:
+                    f, _ = _np_floor_lookup(flow_p, q)
+                    self.base_pos[key] = (q + f).astype(np.float32)
+                else:
+                    fs, _ = _np_floor_lookup(flow_p, q[:, :2])
+                    fe, _ = _np_floor_lookup(flow_p, q[:, 2:])
+                    self.base_pos[key] = (
+                        q + np.concatenate([fs, fe], 1)
+                    ).astype(np.float32)
             self.base_pos_frame = k + 1
 
     def _host_mask_recovery(self, mask, f_id):
@@ -736,9 +747,13 @@ class ChainedDriver(ResidentDriver):
 
         # ---- families A and B + detector-independent selections (run
         # BEFORE the detector join so the landing overlaps host work) ----
-        obj_tmp = fh.select_object_points(
+        obj_tmp = _native.select_object_points(
             depth_pre, flow_np, mask_rec, cfg.th_depth_obj, tr.NO,
         )
+        if obj_tmp is None:
+            obj_tmp = fh.select_object_points(
+                depth_pre, flow_np, mask_rec, cfg.th_depth_obj, tr.NO,
+            )
         A_s = _sample_point_rows(depth_pre, flow_np, mask_rec,
                                  self.base_pos["s"])
         A_l = _sample_line_rows(depth_pre, flow_np, mask_rec,
