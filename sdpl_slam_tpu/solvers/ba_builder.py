@@ -599,6 +599,9 @@ def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
     return cost
 
 
+_LAST_FUSED_ITERS = [0]     # instrumentation: LM iterations of the last call
+
+
 def _run_fused(graph, w, cfg, n_frames, max_iters, gain):
     """Fused LM; dense-Schur exact steps when the reduced (pose+motion)
     system fits MAX_DENSE_DOF, matrix-free CG otherwise."""
@@ -629,15 +632,17 @@ def _run_fused(graph, w, cfg, n_frames, max_iters, gain):
             int(graph.Ld_U0.shape[0]), np.asarray(graph.ltern_prev),
             np.asarray(graph.ltern_valid), "ld_nc",
         )
-        state, cost, _ = schur_ba.run_ba_fused_schur(
+        state, cost, it = schur_ba.run_ba_fused_schur(
             graph, w, jnp.asarray(xd_chain), jnp.asarray(ld_chain),
             F, M, max_iters=max_iters, gain_threshold=gain,
         )
+        _LAST_FUSED_ITERS[0] = int(it)
     else:
-        state, cost, _ = bb.run_ba_fused(
+        state, cost, it = bb.run_ba_fused(
             graph, w, max_iters=max_iters, gain_threshold=gain,
             reduce_dtype=_ba_reduce_dtype(cfg),
         )
+        _LAST_FUSED_ITERS[0] = int(it)
     return state, float(cost)
 
 
@@ -682,6 +687,11 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
     max_iters = cfg.ba_local_iterations if cfg else 100
     gain = cfg.ba_gain_threshold if cfg else 1e-4
     fused = cfg.ba_fused if cfg else True
+    import os as _os
+    import time as _time
+
+    perf = _os.environ.get("SDPL_BA_PERF")
+    t0 = _time.perf_counter()
     with _ratchet(store):
         graph, meta = build_graph(
             map_state, K, f0, f1,
@@ -689,6 +699,7 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
             motion_init_identity=False, prior_info=1e7,   # I/1e-7, :1463
             use_lines=use_lines,
         )
+        t1 = _time.perf_counter()
         rd = _ba_reduce_dtype(cfg)
         with _x64_scope(dtype == jnp.float64 or rd is not None):
             graph = _cast_graph(graph, dtype)
@@ -700,7 +711,14 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
                     graph, w, max_iters=max_iters, gain_threshold=gain,
                     verbose=verbose, reduce_dtype=rd,
                 )
+    t2 = _time.perf_counter()
     _write_back(map_state, state, meta, refined=False)
+    if perf:
+        print("[ba-perf] window %d-%d: build %.0f ms, solve %.0f ms "
+              "(%d LM iters), write-back %.0f ms" %
+              (f0, f1, (t1 - t0) * 1e3, (t2 - t1) * 1e3,
+               _LAST_FUSED_ITERS[0] if fused else -1,
+               (_time.perf_counter() - t2) * 1e3), flush=True)
     # refined trajectory starts from the locally-refined primary one
     for i in range(f0, f1):
         map_state.camera_poses_rf[i] = map_state.camera_poses[i].copy()

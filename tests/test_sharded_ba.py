@@ -273,3 +273,53 @@ def test_partitioned_variable_memory_shrinks():
     # divisible by 8 here and shard cleanly; small remainder fields may
     # stay replicated
     assert b_par <= b_rep / 4, (b_rep, b_par)
+
+
+def test_partitioned_500_frame_sequence():
+    """VERDICT r4 item 7: harden multi-chip evidence at SEQUENCE scale.
+    A 500-frame synthetic graph (~95k edges -- the full-sequence BA
+    axis, /root/reference/src/Optimizer.cc:3876-5337) through
+    run_sharded_ba(partitioned=True) on the 8-way mesh: per-device
+    variable memory must shrink ~linearly (>= 5.5x of the ideal 8x; the
+    point families shard exactly 8x, camera/motion poses and line
+    min-buckets stay replicated), and the partitioned LM must track
+    the replicated layout's cost trajectory on the identical graph.
+    Subprocess-isolated like test_sharded_ba_scale (the big XLA:CPU
+    compiles segfault late in a program-heavy process)."""
+    import subprocess
+    import sys
+
+    body = (
+        "import os;"
+        "os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')"
+        "+' --xla_force_host_platform_device_count=8';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import numpy as np, sys;"
+        f"sys.path.insert(0, {str(__import__('pathlib').Path(__file__).parent)!r});"
+        "from test_sharded_ba import _synth_big_graph;"
+        "from sdpl_slam_tpu.parallel import sharded_ba;"
+        "from sdpl_slam_tpu.solvers import batch_ba as bb;"
+        "g, n_edges = _synth_big_graph(F=500, stat_per_frame=44,"
+        " obs_per_stat=3, dyn_per_frame=28);"
+        "assert n_edges >= 90_000, n_edges;"
+        "mesh = sharded_ba.make_mesh(8);"
+        "b_rep = sharded_ba.variable_bytes_per_device("
+        "sharded_ba.shard_graph(g, mesh));"
+        "b_par = sharded_ba.variable_bytes_per_device("
+        "sharded_ba.shard_graph_partitioned(g, mesh));"
+        "assert b_par * 5.5 <= b_rep, (b_rep, b_par);"
+        "w = bb.BAWeights();"
+        "s_par, c_par = sharded_ba.run_sharded_ba("
+        "g, w, mesh, max_iters=3, cg_iters=10, partitioned=True);"
+        "s_rep, c_rep = sharded_ba.run_sharded_ba("
+        "g, w, mesh, max_iters=3, cg_iters=10, partitioned=False);"
+        "assert np.isfinite(c_par) and np.isfinite(c_rep);"
+        "np.testing.assert_allclose(c_par, c_rep, rtol=1e-3);"
+        "print('SEQ-OK', n_edges, int(b_rep // b_par), c_par)"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", body], capture_output=True, text=True,
+        timeout=1800,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "SEQ-OK" in r.stdout, r.stdout
