@@ -40,6 +40,14 @@ class SynthConfig:
     obj_speed: float = 0.9        # m/frame
     noise_flow: float = 0.0       # px std on flow maps
     noise_depth: float = 0.0      # relative depth noise
+    # --- stress knobs (VERDICT r4 item 8: the reference's ugly paths) ---
+    obj_birth: tuple = ()         # (k, first_frame): object absent before
+    obj_death: tuple = ()         # (k, last_frame): object absent after
+    occl_frames: tuple = ()       # (k, frame): segmenter dropout -- the
+    #   mask loses object k at that frame while depth/flow keep it (the
+    #   UpdateMask recovery scenario, Tracking.cc:4763-4810)
+    depth_hole_frames: tuple = () # frames with a rectangular depth hole
+    #   (sensor dropout; features there must be dropped, not NaN)
 
 
 def _cam_pose(cfg: SynthConfig, t: int) -> np.ndarray:
@@ -206,7 +214,11 @@ class SynthSequence:
         # --- objects: world-space box front faces (exact ray-plane hits, so
         # depth/flow/mask stay rigid-consistent under camera rotation) ---
         obj_rows = []
+        birth = dict(cfg.obj_birth)
+        death = dict(cfg.obj_death)
         for k in range(cfg.n_objects):
+            if t < birth.get(k, 0) or t > death.get(k, 10 ** 9):
+                continue
             L_w = _obj_pose(cfg, k, t).astype(np.float64)
             L_w_next = _obj_pose(cfg, k, t + 1).astype(np.float64)
             centre_c = T_cw[:3, :3] @ L_w[:3, 3] + T_cw[:3, 3]
@@ -242,6 +254,18 @@ class SynthSequence:
                 [t, k + 1, L_w[0, 3], L_w[1, 3], L_w[2, 3],
                  0.0, 0.0, 0.0, 1.0], np.float32,
             ))
+
+        # segmenter dropout: mask loses the object this frame; depth/flow
+        # keep it (tests UpdateMask recovery, Tracking.cc:4763-4810)
+        for (k, fr) in cfg.occl_frames:
+            if fr == t:
+                mask = np.where(mask == k + 1, 0, mask)
+        # sensor depth hole: a dead rectangle (zeros, the invalid-depth
+        # convention) in the lower-middle of the image
+        if t in cfg.depth_hole_frames:
+            hy0, hy1 = int(H * 0.55), int(H * 0.8)
+            hx0, hx1 = int(W * 0.3), int(W * 0.55)
+            depth[hy0:hy1, hx0:hx1] = 0.0
 
         if cfg.noise_flow > 0:
             flow = flow + self.rng.normal(0, cfg.noise_flow, flow.shape)
