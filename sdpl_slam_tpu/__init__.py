@@ -33,16 +33,45 @@ import jax as _jax
 _jax.config.update("jax_default_matmul_precision", "float32")
 
 # Optional persistent compilation cache (opt-in via SDPL_JAX_CACHE=<dir>).
-# Not enabled by default: the axon remote TPU compiler does not persist its
-# executables, and CPU AOT artifacts written by one machine can be loaded
-# by another with mismatched ISA features (observed SIGILL-risk warnings).
+# SDPL_JAX_CACHE=<dir> enables it unconditionally at import; without it,
+# ``maybe_enable_persistent_cache`` (called from System construction)
+# enables a default cache dir for ACCELERATOR backends only — measured
+# round 5: a second process's remote-TPU compiles drop 4.0 s -> 0.1 s,
+# which removes the first-LBA-window compile (~24 s) and the frame-0
+# program compiles (~95 s) from every process after the first.  CPU
+# stays opt-in: CPU AOT artifacts written by one machine can be loaded
+# by another with mismatched ISA features (observed SIGILL-risk
+# warnings).  SDPL_JAX_CACHE=0 disables entirely.
 import os as _os
 
 _cache_dir = _os.environ.get("SDPL_JAX_CACHE")
-if _cache_dir:
+if _cache_dir and _cache_dir != "0":
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+def maybe_enable_persistent_cache():
+    """Enable the persistent compile cache for accelerator backends.
+
+    Called lazily (System construction) because deciding needs the
+    backend, and initializing the backend at import would break
+    platform-pinning callers (tests/conftest.py).  Idempotent."""
+    if _os.environ.get("SDPL_JAX_CACHE") is not None:
+        return      # explicit opt-in/out handled at import
+    try:
+        if _jax.config.jax_compilation_cache_dir:
+            return
+        if _jax.default_backend() == "cpu":
+            return
+        d = _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "sdpl_slam_tpu", "jax_cache")
+        _os.makedirs(d, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", d)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           2.0)
     except Exception:
         pass

@@ -31,6 +31,11 @@ class System:
             print(BANNER)
         if isinstance(settings, (str, Path)):
             settings = load_settings(settings)
+        # accelerator backends get the persistent compile cache (a second
+        # process skips the remote compiles; sdpl_slam_tpu.__init__ doc)
+        import sdpl_slam_tpu as _pkg
+
+        _pkg.maybe_enable_persistent_cache()
         self.settings = settings
         self.sensor = sensor
         if sensor != RGBD:
