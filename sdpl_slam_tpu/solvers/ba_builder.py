@@ -19,6 +19,7 @@ compiled executables.
 from __future__ import annotations
 
 import atexit as _atexit
+import functools
 import sys as _sys
 import threading as _threading
 from typing import Tuple
@@ -457,11 +458,44 @@ def _weights_from_cfg(cfg) -> bb.BAWeights:
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _packed_pull_fn(shapes):
+    import jax
+
+    def pack(leaves):
+        return jnp.concatenate(
+            [jnp.ravel(x).astype(jnp.float32) for x in leaves]
+        )
+
+    return jax.jit(pack)
+
+
+def _pull_state_packed(state):
+    """One device->host transfer for the whole BAState: per-leaf pulls
+    each pay the tunnel's fixed ~30-40 ms landing latency (8 leaves was
+    ~230 ms of the window trigger); packing on device costs one concat."""
+    import jax
+
+    leaves = list(state)
+    if isinstance(leaves[0], np.ndarray):    # already host numpy
+        return state
+    shapes = tuple(tuple(x.shape) for x in leaves)
+    buf = np.asarray(_packed_pull_fn(shapes)(leaves))
+    out = []
+    o = 0
+    for x in leaves:
+        n = int(np.prod(x.shape)) if x.ndim else 1
+        out.append(buf[o:o + n].reshape(x.shape))
+        o += n
+    return type(state)(*out)
+
+
 def _write_back(map_state, state, meta, refined: bool):
     """Write optimized poses/motions back (Optimizer.cc:1074-1104 partial
     into primary fields; :5618-5736 full into *_RF)."""
     m = map_state
     f0, f1 = meta["f0"], meta["f1"]
+    state = _pull_state_packed(state)
     cam = np.asarray(state.cam_T)
     poses = m.camera_poses_rf if refined else m.camera_poses
     for i in range(f1 - f0):
@@ -685,7 +719,10 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
     store = _ratchet_store(map_state)
     dtype = _ba_dtype(cfg)
     max_iters = cfg.ba_local_iterations if cfg else 100
-    gain = cfg.ba_gain_threshold if cfg else 1e-4
+    # the reference's PARTIAL BA terminates at gain 1e-3, not the full
+    # batch's 1e-4 (Optimizer.cc:1410 vs :4004)
+    gain = (getattr(cfg, "ba_gain_threshold_partial", 1e-3)
+            if cfg else 1e-3)
     fused = cfg.ba_fused if cfg else True
     import os as _os
     import time as _time
@@ -775,7 +812,9 @@ def precompile_partial(map_state, K: Intrinsics, cfg,
     w = _weights_from_cfg(cfg)
     store = _ratchet_store(map_state)
     max_iters = cfg.ba_local_iterations
-    gain = cfg.ba_gain_threshold
+    # must match the real trigger (gain_threshold is a STATIC jit arg;
+    # a mismatched precompile would never hit the cache)
+    gain = getattr(cfg, "ba_gain_threshold_partial", 1e-3)
     with _ratchet(store):
         graph, _ = build_graph(
             snap, K, 0, window,
@@ -788,7 +827,8 @@ def precompile_partial(map_state, K: Intrinsics, cfg,
         # dummy call must present arguments the same way the trigger
         # will
         graph = _cast_graph(graph, jnp.float32)
-        _run_fused(graph, w, cfg, window, max_iters, gain)
+        state, _ = _run_fused(graph, w, cfg, window, max_iters, gain)
+        _pull_state_packed(state)      # pre-warm the write-back pull too
     return True
 
 
@@ -938,8 +978,14 @@ def precompile_partial_from_floors(map_state, cfg, floors,
     with _ratchet(store):
         graph = _dummy_graph_from_floors(floors, window)
         graph = _cast_graph(graph, jnp.float32)
-        _run_fused(graph, w, cfg, window, cfg.ba_local_iterations,
-                   cfg.ba_gain_threshold)
+        # gain_threshold is a STATIC jit arg: must match the real
+        # trigger's PARTIAL gain (Optimizer.cc:1410) or the compile is
+        # wasted
+        state, _ = _run_fused(
+            graph, w, cfg, window, cfg.ba_local_iterations,
+            getattr(cfg, "ba_gain_threshold_partial", 1e-3),
+        )
+        _pull_state_packed(state)      # pre-warm the write-back pull too
     return True
 
 

@@ -418,6 +418,63 @@ def _hvp_and_grad(lin, prior, graph, template):
     return grad(), hvp, block_diag()
 
 
+def _inv2(A):
+    a, b = A[..., 0, 0], A[..., 0, 1]
+    c, d = A[..., 1, 0], A[..., 1, 1]
+    det = a * d - b * c
+    return jnp.stack([
+        jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)
+    ], -2) / det[..., None, None]
+
+
+def _inv_spd_small(A):
+    """Batched closed-form inverse for the damped SPD preconditioner
+    blocks.  ``jnp.linalg.inv`` lowers tiny batched LU factorizations
+    poorly on TPU (measured ~40 ms of the ~100 ms LM iteration at window
+    scale, dominated by the ~25k 3x3/4x4 point/line blocks); the
+    adjugate (3x3) and block-2x2 Schur (4x4) forms are pure elementwise
+    math.  Blocks are damped SPD (H_ii + lam + 1e-8), so every
+    sub-inverse is well-conditioned.  6x6 pose blocks (~100 of them)
+    keep linalg.inv."""
+    n = A.shape[-1]
+    if n == 2:
+        return _inv2(A)
+    if n == 3:
+        a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+        d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+        g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+        c11 = e * i - f * h
+        c12 = c * h - b * i
+        c13 = b * f - c * e
+        c21 = f * g - d * i
+        c22 = a * i - c * g
+        c23 = c * d - a * f
+        c31 = d * h - e * g
+        c32 = b * g - a * h
+        c33 = a * e - b * d
+        det = a * c11 + b * c21 + c * c31
+        adj = jnp.stack([
+            jnp.stack([c11, c12, c13], -1),
+            jnp.stack([c21, c22, c23], -1),
+            jnp.stack([c31, c32, c33], -1),
+        ], -2)
+        return adj / det[..., None, None]
+    if n == 4:
+        mm = functools.partial(jnp.matmul, precision=_HI)
+        A_, B_ = A[..., :2, :2], A[..., :2, 2:]
+        C_, D_ = A[..., 2:, :2], A[..., 2:, 2:]
+        Ai = _inv2(A_)
+        Si = _inv2(D_ - mm(C_, mm(Ai, B_)))
+        AiB = mm(Ai, B_)
+        CAi = mm(C_, Ai)
+        top = jnp.concatenate(
+            [Ai + mm(AiB, mm(Si, CAi)), -mm(AiB, Si)], -1
+        )
+        bot = jnp.concatenate([-mm(Si, CAi), Si], -1)
+        return jnp.concatenate([top, bot], -2)
+    return jnp.linalg.inv(A)
+
+
 def _tree_dot(a, b, dtype=None):
     """Tree inner product; ``dtype`` upcasts the reduction (the
     mixed-precision CG accumulates its recurrences in f64 while storage
@@ -485,7 +542,7 @@ def _solve_normal_eq(graph: BAGraph, state: BAState, w: BAWeights,
         for k, v in bd.items()
     }
     bd_damped = {k: bd[k] + lam * eye[k] for k in bd}
-    pinv = {k: jnp.linalg.inv(bd_damped[k] + 1e-8 * eye[k]) for k in bd}
+    pinv = {k: _inv_spd_small(bd_damped[k] + 1e-8 * eye[k]) for k in bd}
     return _pcg(hvp, g, pinv, lam, cg_iters, state.cam_T.dtype,
                 reduce_dtype, cg_rtol)
 
@@ -608,7 +665,7 @@ def ba_gn_step(graph: BAGraph, state: BAState, w: BAWeights,
     }
     # LM damping on the block diagonal (g2o: H_ii += lam)
     bd_damped = {k: bd[k] + lam * eye[k] for k in bd}
-    pinv = {k: jnp.linalg.inv(bd_damped[k] + 1e-8 * eye[k]) for k in bd}
+    pinv = {k: _inv_spd_small(bd_damped[k] + 1e-8 * eye[k]) for k in bd}
     x, gain_den = _pcg(hvp, g, pinv, lam, cg_iters, state.cam_T.dtype,
                        reduce_dtype, cg_rtol)
     return x, cost, gain_den

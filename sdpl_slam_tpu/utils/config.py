@@ -177,7 +177,11 @@ class Settings:
     ba_tracklet_min_len: int = 3      # Optimizer.cc:3938
     ba_local_iterations: int = 100    # partial optimize(100), Optimizer.cc:2462
     ba_global_iterations: int = 300   # full optimize(300), Optimizer.cc:5337
-    ba_gain_threshold: float = 1e-4   # termination, Optimizer.cc:4004
+    ba_gain_threshold: float = 1e-4   # FULL-batch termination, Optimizer.cc:4004
+    # the PARTIAL (window) BA uses a 10x looser gain in the reference
+    # (setGainThreshold(1e-3), Optimizer.cc:1410-1411) -- round 4/5 ran
+    # both at 1e-4, which is why warm windows burned ~32 LM iterations
+    ba_gain_threshold_partial: float = 1e-3
     # fused BA: run the whole LM outer loop (linearize -> CG -> retract ->
     # accept/reject) as ONE device program (batch_ba.run_ba_fused) instead
     # of ~13 dispatches per iteration.  On the tunneled TPU this turns a
