@@ -599,4 +599,129 @@ int64_t sdpl_select_object_points(const float* depth, const float* flow,
   return k;
 }
 
+
+// fused candidate-based selections (frame_host.select_static_points /
+// select_static_lines / select_object_lines): lookup at candidate
+// positions, predicate, compact.  Row order and f32 math match the
+// numpy versions exactly (tests/test_native_prep.py).
+
+static inline void lookup1(const float* uv, int w, int h,
+                           int64_t* idx, int* inb) {
+  int u = (int)floorf(uv[0]);
+  int v = (int)floorf(uv[1]);
+  *inb = (u > 0 && u < w - 1 && v > 0 && v < h - 1);
+  if (u < 0) u = 0; else if (u > w - 1) u = w - 1;
+  if (v < 0) v = 0; else if (v > h - 1) v = h - 1;
+  *idx = (int64_t)v * w + u;
+}
+
+int64_t sdpl_select_static_points(
+    const float* depth, const float* flow, const int32_t* mask,
+    int h, int w, const float* cand_uv, const uint8_t* cand_valid,
+    int64_t n, float th, int64_t cap,
+    float* uv, float* d, float* f, float* corres) {
+  int64_t k = 0;
+  for (int64_t i = 0; i < n && k < cap; ++i) {
+    if (!cand_valid[i]) continue;
+    const float* q = cand_uv + 2 * i;
+    int64_t idx; int inb;
+    lookup1(q, w, h, &idx, &inb);
+    if (!inb) continue;
+    if (mask[idx] != 0) continue;
+    float dd = depth[idx];
+    if (!(dd > 0.f && dd <= th)) continue;
+    float fu = flow[2 * idx], fv = flow[2 * idx + 1];
+    if (fu == 0.f || fv == 0.f) continue;
+    float cu = q[0] + fu, cv = q[1] + fv;
+    if (!(cu < (float)w && cv < (float)h && cu > 0.f && cv > 0.f))
+      continue;
+    uv[2 * k] = q[0]; uv[2 * k + 1] = q[1];
+    d[k] = dd;
+    f[2 * k] = fu; f[2 * k + 1] = fv;
+    corres[2 * k] = cu; corres[2 * k + 1] = cv;
+    ++k;
+  }
+  return k;
+}
+
+int64_t sdpl_select_static_lines(
+    const float* depth, const float* flow, const int32_t* mask,
+    int h, int w, const float* cand_uv4, const uint8_t* cand_valid,
+    int64_t n, float th, int64_t cap,
+    float* uv4, float* d2, float* f4, float* corres4) {
+  int64_t k = 0;
+  for (int64_t i = 0; i < n && k < cap; ++i) {
+    if (!cand_valid[i]) continue;
+    const float* q = cand_uv4 + 4 * i;
+    int64_t is, ie, im; int inb_s, inb_e, inb_m;
+    lookup1(q, w, h, &is, &inb_s);
+    lookup1(q + 2, w, h, &ie, &inb_e);
+    float mid[2] = {0.5f * (q[0] + q[2]), 0.5f * (q[1] + q[3])};
+    lookup1(mid, w, h, &im, &inb_m);
+    if (!(inb_s && inb_e)) continue;
+    float dx = q[0] - q[2], dy = q[1] - q[3];
+    if (fabsf(dx) < 1e-6f && fabsf(dy) < 1e-6f) continue;  // degen
+    if (mask[is] != 0 || mask[ie] != 0) continue;
+    float ds = depth[is], de = depth[ie], dm = depth[im];
+    if (!(ds > 0.f && ds <= th && de > 0.f && de <= th)) continue;
+    float len = sqrtf(dx * dx + dy * dy);
+    if (!(fabsf(dm - 0.5f * (ds + de)) <= 10.f * len / 1000.f))
+      continue;                                 // depth discontinuity
+    float fsu = flow[2 * is], fsv = flow[2 * is + 1];
+    float feu = flow[2 * ie], fev = flow[2 * ie + 1];
+    if (fsu == 0.f || fsv == 0.f || feu == 0.f || fev == 0.f) continue;
+    float c0 = q[0] + fsu, c1 = q[1] + fsv;
+    float c2 = q[2] + feu, c3 = q[3] + fev;
+    if (!(c0 < (float)w && c0 > 0.f && c1 < (float)h && c1 > 0.f
+          && c2 < (float)w && c2 > 0.f && c3 < (float)h && c3 > 0.f))
+      continue;
+    for (int j = 0; j < 4; ++j) uv4[4 * k + j] = q[j];
+    d2[2 * k] = ds; d2[2 * k + 1] = de;
+    f4[4 * k] = fsu; f4[4 * k + 1] = fsv;
+    f4[4 * k + 2] = feu; f4[4 * k + 3] = fev;
+    corres4[4 * k] = c0; corres4[4 * k + 1] = c1;
+    corres4[4 * k + 2] = c2; corres4[4 * k + 3] = c3;
+    ++k;
+  }
+  return k;
+}
+
+int64_t sdpl_select_object_lines(
+    const float* depth, const float* flow, const int32_t* mask,
+    int h, int w, const float* cand_uv4, const uint8_t* cand_valid,
+    int64_t n, float th, int64_t cap,
+    float* uv4, float* d2, float* f4, float* corres4, int32_t* sem) {
+  int64_t k = 0;
+  for (int64_t i = 0; i < n && k < cap; ++i) {
+    if (!cand_valid[i]) continue;
+    const float* q = cand_uv4 + 4 * i;
+    int64_t is, ie; int inb_s, inb_e;
+    lookup1(q, w, h, &is, &inb_s);
+    lookup1(q + 2, w, h, &ie, &inb_e);
+    if (!(inb_s && inb_e)) continue;
+    float dx = q[0] - q[2], dy = q[1] - q[3];
+    if (fabsf(dx) < 1e-6f && fabsf(dy) < 1e-6f) continue;
+    int32_t ms = mask[is], me = mask[ie];
+    if (ms == 0 || ms != me) continue;
+    float ds = depth[is], de = depth[ie];
+    if (!(ds > 0.f && ds < th && de > 0.f && de < th)) continue;
+    float fsu = flow[2 * is], fsv = flow[2 * is + 1];
+    float feu = flow[2 * ie], fev = flow[2 * ie + 1];
+    float c0 = q[0] + fsu, c1 = q[1] + fsv;
+    float c2 = q[2] + feu, c3 = q[3] + fev;
+    if (!(c0 < (float)w && c0 > 0.f && c1 < (float)h && c1 > 0.f
+          && c2 < (float)w && c2 > 0.f && c3 < (float)h && c3 > 0.f))
+      continue;
+    for (int j = 0; j < 4; ++j) uv4[4 * k + j] = q[j];
+    d2[2 * k] = ds; d2[2 * k + 1] = de;
+    f4[4 * k] = fsu; f4[4 * k + 1] = fsv;
+    f4[4 * k + 2] = feu; f4[4 * k + 3] = fev;
+    corres4[4 * k] = c0; corres4[4 * k + 1] = c1;
+    corres4[4 * k + 2] = c2; corres4[4 * k + 3] = c3;
+    sem[k] = ms;
+    ++k;
+  }
+  return k;
+}
+
 }  // extern "C"

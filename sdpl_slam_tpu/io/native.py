@@ -109,6 +109,25 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_float, ctypes.c_int, ctypes.c_int64,
             _pf, _pf, _pf, _pf, _pi,
         ]
+        _pu8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.sdpl_select_static_points.restype = ctypes.c_int64
+        lib.sdpl_select_static_points.argtypes = [
+            _pf, _pf, _pi, ctypes.c_int, ctypes.c_int,
+            _pf, _pu8, ctypes.c_int64, ctypes.c_float, ctypes.c_int64,
+            _pf, _pf, _pf, _pf,
+        ]
+        lib.sdpl_select_static_lines.restype = ctypes.c_int64
+        lib.sdpl_select_static_lines.argtypes = [
+            _pf, _pf, _pi, ctypes.c_int, ctypes.c_int,
+            _pf, _pu8, ctypes.c_int64, ctypes.c_float, ctypes.c_int64,
+            _pf, _pf, _pf, _pf,
+        ]
+        lib.sdpl_select_object_lines.restype = ctypes.c_int64
+        lib.sdpl_select_object_lines.argtypes = [
+            _pf, _pf, _pi, ctypes.c_int, ctypes.c_int,
+            _pf, _pu8, ctypes.c_int64, ctypes.c_float, ctypes.c_int64,
+            _pf, _pf, _pf, _pf, _pi,
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -436,3 +455,79 @@ def select_object_points(depth, flow, mask, th_depth_obj, cap, step=4):
     )
     valid = np.arange(cap) < n
     return uv, d, f, corres, sem, valid
+
+
+def select_static_points(cand_uv, cand_valid, depth, flow, mask,
+                         th_depth_bg, cap):
+    """Fused candidate static-point selection
+    (frame_host.select_static_points semantics).  None -> fall back."""
+    lib = _load()
+    if lib is None or not _planes_ok(depth, flow, mask):
+        return None
+    h, w = mask.shape
+    cand_uv = np.ascontiguousarray(cand_uv, np.float32)
+    cv = np.ascontiguousarray(cand_valid, np.uint8)
+    uv = np.zeros((cap, 2), np.float32)
+    d = np.zeros(cap, np.float32)
+    f = np.zeros((cap, 2), np.float32)
+    corres = np.zeros((cap, 2), np.float32)
+    n = lib.sdpl_select_static_points(
+        depth.ctypes.data_as(_PF), flow.ctypes.data_as(_PF),
+        mask.ctypes.data_as(_PI), h, w,
+        cand_uv.ctypes.data_as(_PF),
+        cv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(cand_uv), np.float32(th_depth_bg), cap,
+        uv.ctypes.data_as(_PF), d.ctypes.data_as(_PF),
+        f.ctypes.data_as(_PF), corres.ctypes.data_as(_PF),
+    )
+    return uv, d, f, corres, np.arange(cap) < n
+
+
+def select_static_lines(cand_uv4, cand_valid, depth, flow, mask,
+                        th_depth_bg, cap):
+    lib = _load()
+    if lib is None or not _planes_ok(depth, flow, mask):
+        return None
+    h, w = mask.shape
+    cand_uv4 = np.ascontiguousarray(cand_uv4, np.float32)
+    cv = np.ascontiguousarray(cand_valid, np.uint8)
+    uv4 = np.zeros((cap, 4), np.float32)
+    d2 = np.zeros((cap, 2), np.float32)
+    f4 = np.zeros((cap, 4), np.float32)
+    corres = np.zeros((cap, 4), np.float32)
+    n = lib.sdpl_select_static_lines(
+        depth.ctypes.data_as(_PF), flow.ctypes.data_as(_PF),
+        mask.ctypes.data_as(_PI), h, w,
+        cand_uv4.ctypes.data_as(_PF),
+        cv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(cand_uv4), np.float32(th_depth_bg), cap,
+        uv4.ctypes.data_as(_PF), d2.ctypes.data_as(_PF),
+        f4.ctypes.data_as(_PF), corres.ctypes.data_as(_PF),
+    )
+    return uv4, d2, f4, corres, np.arange(cap) < n
+
+
+def select_object_lines(cand_uv4, cand_valid, depth, flow, mask,
+                        th_depth_obj, cap):
+    lib = _load()
+    if lib is None or not _planes_ok(depth, flow, mask):
+        return None
+    h, w = mask.shape
+    cand_uv4 = np.ascontiguousarray(cand_uv4, np.float32)
+    cv = np.ascontiguousarray(cand_valid, np.uint8)
+    uv4 = np.zeros((cap, 4), np.float32)
+    d2 = np.zeros((cap, 2), np.float32)
+    f4 = np.zeros((cap, 4), np.float32)
+    corres = np.zeros((cap, 4), np.float32)
+    sem = np.zeros(cap, np.int32)
+    n = lib.sdpl_select_object_lines(
+        depth.ctypes.data_as(_PF), flow.ctypes.data_as(_PF),
+        mask.ctypes.data_as(_PI), h, w,
+        cand_uv4.ctypes.data_as(_PF),
+        cv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(cand_uv4), np.float32(th_depth_obj), cap,
+        uv4.ctypes.data_as(_PF), d2.ctypes.data_as(_PF),
+        f4.ctypes.data_as(_PF), corres.ctypes.data_as(_PF),
+        sem.ctypes.data_as(_PI),
+    )
+    return uv4, d2, f4, corres, sem, np.arange(cap) < n

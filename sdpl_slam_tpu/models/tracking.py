@@ -926,18 +926,33 @@ class Tracking:
             lcand[:n] = line_detections[:n]
             lcand_valid[:n] = True
 
-        stat_tmp = fh.select_static_points(
+        stat_tmp = _native.select_static_points(
             cand, cand_valid, self.depth_np, flow_np, self.mask_np,
             cfg.th_depth_bg, self.NS,
         )
-        line_tmp = fh.select_static_lines(
+        if stat_tmp is None:
+            stat_tmp = fh.select_static_points(
+                cand, cand_valid, self.depth_np, flow_np, self.mask_np,
+                cfg.th_depth_bg, self.NS,
+            )
+        line_tmp = _native.select_static_lines(
             lcand, lcand_valid, self.depth_np, flow_np, self.mask_np,
             cfg.th_depth_bg, self.NLS,
         )
-        oline_tmp = fh.select_object_lines(
+        if line_tmp is None:
+            line_tmp = fh.select_static_lines(
+                lcand, lcand_valid, self.depth_np, flow_np, self.mask_np,
+                cfg.th_depth_bg, self.NLS,
+            )
+        oline_tmp = _native.select_object_lines(
             lcand, lcand_valid, self.depth_np, flow_np, self.mask_np,
             cfg.th_depth_obj, self.NLO,
         )
+        if oline_tmp is None:
+            oline_tmp = fh.select_object_lines(
+                lcand, lcand_valid, self.depth_np, flow_np, self.mask_np,
+                cfg.th_depth_obj, self.NLO,
+            )
         return stat_tmp, line_tmp, oline_tmp
 
     # ------------------------------------------------------------------

@@ -131,3 +131,48 @@ def test_select_object_points_cap_overflow(planes):
     exp = fh.select_object_points(depth, flow, mask, 25.0, cap)
     for g, e in zip(got, exp):
         np.testing.assert_array_equal(g, e)
+
+
+def _line_cands(rng, n):
+    q4 = np.concatenate([_positions(rng, n), _positions(rng, n)], axis=1)
+    # some degenerate (identical endpoints) rows
+    q4[:: 17, 2:] = q4[:: 17, :2]
+    valid = rng.uniform(size=n) > 0.1
+    return q4, valid
+
+
+def test_select_static_points(planes):
+    depth, flow, mask = planes
+    rng = np.random.default_rng(4)
+    cand = _positions(rng, 3000)
+    valid = rng.uniform(size=3000) > 0.1
+    got = native.select_static_points(cand, valid, depth, flow, mask,
+                                      40.0, 1200)
+    exp = fh.select_static_points(cand, valid, depth, flow, mask,
+                                  40.0, 1200)
+    for g, e in zip(got, exp):
+        np.testing.assert_array_equal(g, e)
+
+
+def test_select_static_lines(planes):
+    depth, flow, mask = planes
+    rng = np.random.default_rng(5)
+    q4, valid = _line_cands(rng, 800)
+    got = native.select_static_lines(q4, valid, depth, flow, mask,
+                                     40.0, 400)
+    exp = fh.select_static_lines(q4, valid, depth, flow, mask,
+                                 40.0, 400)
+    for g, e in zip(got, exp):
+        np.testing.assert_array_equal(g, e)
+
+
+def test_select_object_lines(planes):
+    depth, flow, mask = planes
+    rng = np.random.default_rng(6)
+    q4, valid = _line_cands(rng, 800)
+    got = native.select_object_lines(q4, valid, depth, flow, mask,
+                                     25.0, 100)
+    exp = fh.select_object_lines(q4, valid, depth, flow, mask,
+                                 25.0, 100)
+    for g, e in zip(got, exp):
+        np.testing.assert_array_equal(g, e)
