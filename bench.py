@@ -185,13 +185,22 @@ def _device_exec_probe(system, m=10):
     gt0 = gt_sem_table([])
     buf = jnp.asarray(drv.last_bundle)
     state = drv.state
+    prov = getattr(drv, "prov", None)
+    deep = getattr(drv, "depth", 2) >= 3 and prov is not None
+
+    def call(s, p, key):
+        if deep:
+            return fn(s, p, buf, gt0, gt0, key)
+        s, out = fn(s, buf, gt0, gt0, key)
+        return s, p, out
+
     # warm
-    s, out = fn(state, buf, gt0, gt0, jax.random.PRNGKey(0))
+    s, p, out = call(state, prov, jax.random.PRNGKey(0))
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    s = state
+    s, p = state, prov
     for i in range(m):
-        s, out = fn(s, buf, gt0, gt0, jax.random.PRNGKey(i))
+        s, p, out = call(s, p, jax.random.PRNGKey(i))
     jax.block_until_ready(out)
     total_ms = (time.perf_counter() - t0) * 1e3
     return max((total_ms - RESULT_LANDING_MS) / m, 0.0)

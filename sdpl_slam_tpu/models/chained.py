@@ -62,16 +62,21 @@ from .resident import (
 # bundle spec
 # ---------------------------------------------------------------------------
 
-def bundle_spec(caps):
+def bundle_spec(caps, depth=2):
     """(name, shape) rows of the packed f32 sample bundle, in order.
 
-    Families A (base-state rows) and B (previous candidates) carry raw
-    plane samples; the candidate tmp tuples (family C) are the host
-    selections verbatim; olc_ok is the host-evaluated static-line filter
-    over object-line candidates (the reference renewal quirk)."""
+    Family A (base-state rows) and family B (previous frame's
+    candidates) carry raw plane samples; the candidate tmp tuples
+    (family C) are the host selections verbatim; olc_ok is the
+    host-evaluated static-line filter over object-line candidates (the
+    reference renewal quirk).  At pipeline ``depth`` 3 the base lags one
+    more generation, so rows born TWO frames ago need their own sample
+    family B2 (candidates of frame t-2, positions rolled one flow
+    plane forward)."""
     NS, NLS, NO, NLO = caps["NS"], caps["NLS"], caps["NO"], caps["NLO"]
+    fams = ("A", "B") if depth < 3 else ("A", "B", "B2")
     rows = []
-    for fam in ("A", "B"):
+    for fam in fams:
         rows += [
             (f"{fam}_s", (NS, 5)),      # inb, d, m, fu, fv
             (f"{fam}_l", (NLS, 11)),    # inb_s, inb_e, ds, de, dm, ms, me, f4
@@ -93,9 +98,9 @@ def bundle_spec(caps):
     return rows
 
 
-def bundle_size(caps):
+def bundle_size(caps, depth=2):
     n = 0
-    for _, shape in bundle_spec(caps):
+    for _, shape in bundle_spec(caps, depth):
         k = 1
         for s in shape:
             k *= s
@@ -103,10 +108,10 @@ def bundle_size(caps):
     return n
 
 
-def _unpack_bundle(buf, caps):
+def _unpack_bundle(buf, caps, depth=2):
     out = {}
     o = 0
-    for name, shape in bundle_spec(caps):
+    for name, shape in bundle_spec(caps, depth):
         k = 1
         for s in shape:
             k *= s
@@ -126,6 +131,52 @@ def _gather_prov(A, B, asso, cand):
     a = jnp.clip(asso, 0, A.shape[0] - 1)
     b = jnp.clip(cand, 0, B.shape[0] - 1)
     return jnp.where((asso >= 0)[:, None], A[a], B[b])
+
+
+def _gather_prov3(A, B1, B2, a2, c1, c2):
+    """Depth-3 provenance gather.  Priority: rows born last frame read
+    family B1 at their candidate row (c1 >= 0 implies a2 = c2 = -1);
+    rows born two frames ago read family B2 at their grandparent
+    candidate row; everything older reads family A at its 2-step
+    composed ancestor row in the base generation."""
+    ia = jnp.clip(a2, 0, A.shape[0] - 1)
+    i1 = jnp.clip(c1, 0, B1.shape[0] - 1)
+    i2 = jnp.clip(c2, 0, B2.shape[0] - 1)
+    old = jnp.where((c2 >= 0)[:, None], B2[i2], A[ia])
+    return jnp.where((c1 >= 0)[:, None], B1[i1], old)
+
+
+def identity_prov(caps):
+    """Depth-3 side provenance at a rebase point: every live row IS its
+    own base-generation row (a2 = identity), nothing is candidate-born
+    within the window (c2 = -1)."""
+    out = {}
+    for fam, cap in (("s", "NS"), ("l", "NLS"), ("o", "NO"),
+                     ("ol", "NLO")):
+        n = caps[cap]
+        out[f"a2_{fam}"] = jnp.arange(n, dtype=jnp.int32)
+        out[f"c2_{fam}"] = jnp.full(n, -1, jnp.int32)
+    return out
+
+
+def _compose_prov(state_prev, new_state, caps):
+    """Next side provenance: compose this step's 1-deep keep indices
+    (new_state.*_asso, referring to rows of ``state_prev``) with
+    ``state_prev``'s own 1-deep provenance, yielding 2-deep pointers
+    (a2 -> the generation BEFORE state_prev = the depth-3 base at the
+    next frame's gather; c2 -> the candidate set of state_prev's birth
+    frame)."""
+    out = {}
+    for fam, cap in (("s", "NS"), ("l", "NLS"), ("o", "NO"),
+                     ("ol", "NLO")):
+        n = caps[cap]
+        k = getattr(new_state, f"{fam}_asso")
+        kc = jnp.clip(k, 0, n - 1)
+        pa = getattr(state_prev, f"{fam}_asso")
+        pc = getattr(state_prev, f"{fam}_cand")
+        out[f"a2_{fam}"] = jnp.where(k >= 0, pa[kc], -1)
+        out[f"c2_{fam}"] = jnp.where(k >= 0, pc[kc], -1)
+    return out
 
 
 def _bounds_pt(uv, h, w):
@@ -294,20 +345,20 @@ def _ltf_sampled(state, lv):
     return state.l_valid & ok
 
 
-def build_chained_step(cfg, K: Intrinsics, caps: dict, hw):
+def build_chained_step(cfg, K: Intrinsics, caps: dict, hw, depth=2):
     """The chained per-frame jit: unpack bundle -> provenance gathers ->
-    sampled inherit/filters -> the shared core stage."""
+    sampled inherit/filters -> the shared core stage.
+
+    ``depth`` is the software-pipeline depth (frames in flight + 1).
+    At depth 2 (the original scheme) the state's own 1-deep
+    asso/cand provenance addresses families A/B directly.  At depth 3
+    the base generation lags one more frame, so the step carries a side
+    ``prov`` pytree of 2-deep composed pointers (a2/c2 per family) and
+    gathers across three families (A/B2/B1)."""
     core = build_core_stage(cfg, K, caps)
     h, w = hw
 
-    def step(state: ResidentState, bundle, gt_sem_prev, gt_sem_cur, key):
-        b = _unpack_bundle(bundle, caps)
-        sv = _gather_prov(b["A_s"], b["B_s"], state.s_asso, state.s_cand)
-        lv = _gather_prov(b["A_l"], b["B_l"], state.l_asso, state.l_cand)
-        ov = _gather_prov(b["A_o"], b["B_o"], state.o_asso, state.o_cand)
-        olv = _gather_prov(
-            b["A_ol"], b["B_ol"], state.ol_asso, state.ol_cand
-        )
+    def _run_core(state, b, gt_sem_prev, gt_sem_cur, key, sv, lv, ov, olv):
         inh = _inherit_sampled(cfg, state, sv, lv, ov, olv)
         line_ok0 = _ltf_sampled(state, lv)
         si = StageInputs(
@@ -325,7 +376,33 @@ def build_chained_step(cfg, K: Intrinsics, caps: dict, hw):
         return core(state, si, filts, (h, w), gt_sem_prev, gt_sem_cur,
                     key, state.last_mask, state.last_flow)
 
-    return step
+    def step(state: ResidentState, bundle, gt_sem_prev, gt_sem_cur, key):
+        b = _unpack_bundle(bundle, caps)
+        sv = _gather_prov(b["A_s"], b["B_s"], state.s_asso, state.s_cand)
+        lv = _gather_prov(b["A_l"], b["B_l"], state.l_asso, state.l_cand)
+        ov = _gather_prov(b["A_o"], b["B_o"], state.o_asso, state.o_cand)
+        olv = _gather_prov(
+            b["A_ol"], b["B_ol"], state.ol_asso, state.ol_cand
+        )
+        return _run_core(state, b, gt_sem_prev, gt_sem_cur, key,
+                         sv, lv, ov, olv)
+
+    def step3(state: ResidentState, prov, bundle,
+              gt_sem_prev, gt_sem_cur, key):
+        b = _unpack_bundle(bundle, caps, depth=3)
+        sv = _gather_prov3(b["A_s"], b["B_s"], b["B2_s"],
+                           prov["a2_s"], state.s_cand, prov["c2_s"])
+        lv = _gather_prov3(b["A_l"], b["B_l"], b["B2_l"],
+                           prov["a2_l"], state.l_cand, prov["c2_l"])
+        ov = _gather_prov3(b["A_o"], b["B_o"], b["B2_o"],
+                           prov["a2_o"], state.o_cand, prov["c2_o"])
+        olv = _gather_prov3(b["A_ol"], b["B_ol"], b["B2_ol"],
+                            prov["a2_ol"], state.ol_cand, prov["c2_ol"])
+        new_state, out = _run_core(state, b, gt_sem_prev, gt_sem_cur, key,
+                                   sv, lv, ov, olv)
+        return new_state, _compose_prov(state, new_state, caps), out
+
+    return step3 if depth >= 3 else step
 
 
 # ---------------------------------------------------------------------------
@@ -457,6 +534,20 @@ def _np_filt_line_ok(uv4, depth, flow, mask):
     )
 
 
+def _rolled_positions(q, flow_p, stride):
+    """Positions ``q`` advanced one frame through ``flow_p`` (copy;
+    native kernel when available, numpy floor-lookup fallback)."""
+    out = np.ascontiguousarray(q, np.float32).copy()
+    if _native.roll_positions(flow_p, out, stride):
+        return out
+    if stride == 2:
+        f, _ = _np_floor_lookup(flow_p, out)
+        return (out + f).astype(np.float32)
+    fs, _ = _np_floor_lookup(flow_p, out[:, :2])
+    fe, _ = _np_floor_lookup(flow_p, out[:, 2:])
+    return (out + np.concatenate([fs, fe], 1)).astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -468,19 +559,36 @@ _CHAINED_STEP_MEMO: dict = {}
 class ChainedDriver(ResidentDriver):
     """Chained-mode driver: resident core + host shadow sampling.
 
-    Generation scheme (hard LAG=2): before frame t's family-A build the
-    host drains step pulls until at most ONE is pending, so its base is
-    exactly the state the live device rows' provenance refers to."""
+    Generation scheme (hard LAG): before frame t's family-A build the
+    host drains step pulls until at most ``depth - 1`` are pending, so
+    its base is exactly the state the live device rows' provenance
+    refers to (gen t - depth).  depth 2 uses the state's own 1-deep
+    asso/cand; depth 3 additionally carries the composed 2-deep side
+    provenance (``self.prov``) and a second candidate sample family B2
+    (see build_chained_step).  Depth 3 hides one more frame of
+    dispatch->result latency behind the pipeline, at the cost of one
+    more frame of shadow-roll staleness in the sampled positions and
+    mask-recovery votes (accuracy-neutral on the oracle:
+    tests/test_chained.py depth-3 gates).  On the tunneled-TPU bench
+    rig it does NOT raise throughput -- the stream there is
+    byte/exec-saturated at ~43 ms/frame, not latency-bound (measured
+    round 5, BASELINE.md); it exists for latency-dominated
+    transports."""
 
     LAG = 1   # max pending AFTER the pre-frame drain (i.e. base = t-2)
 
     def __init__(self, tracker):
         super().__init__(tracker)
+        self.depth = int(getattr(tracker.cfg, "chained_depth", 2) or 2)
+        self.depth = max(2, min(3, self.depth))
+        self.LAG = self.depth - 1
         self.base = None          # dict: uv/corres/valid/sem per type
         self.base_pos = None      # rolled positions, per type
         self.base_pos_frame = -1  # frame index base_pos lives in
         self.planes = {}          # frame -> (depth_pre, flow, mask_rec)
         self.prev_cands = None    # (stat_tmp, line_tmp, obj_tmp, oline_tmp)
+        self.prev_cands2 = None   # the generation before prev_cands
+        self.prov = None          # depth-3 composed side provenance
         self._det_pending = {}    # frame -> _FrameDetections (<=2 ahead)
         self._step_fn = None
         self._hw = None
@@ -519,6 +627,9 @@ class ChainedDriver(ResidentDriver):
             tr.depth_np, tr.last_flow_np, tr.last_mask_np,
         )
         self.prev_cands = None
+        self.prev_cands2 = None
+        if self.depth >= 3:
+            self.prov = identity_prov(self.caps)
         self._det_pending = {}
 
     def exit(self):
@@ -563,6 +674,8 @@ class ChainedDriver(ResidentDriver):
             ol_asso=jnp.arange(caps["NLO"], dtype=jnp.int32),
             ol_cand=jnp.full(caps["NLO"], -1, jnp.int32),
         )
+        if self.depth >= 3:
+            self.prov = identity_prov(caps)
 
     def _set_base_from_out(self, o, frame):
         """Adopt a drained step output (state content of ``frame``) as the
@@ -659,11 +772,13 @@ class ChainedDriver(ResidentDriver):
             # share the jitted step across identically-configured drivers
             from ..utils.config import settings_fingerprint
             memo_key = (settings_fingerprint(self.tr.cfg),
-                        repr(sorted(self.caps.items())), self._hw)
+                        repr(sorted(self.caps.items())), self._hw,
+                        self.depth)
             fn = _CHAINED_STEP_MEMO.get(memo_key)
             if fn is None:
                 step = build_chained_step(
-                    self.tr.cfg, self.tr.K, self.caps, self._hw
+                    self.tr.cfg, self.tr.K, self.caps, self._hw,
+                    depth=self.depth,
                 )
                 fn = _CHAINED_STEP_MEMO[memo_key] = jax.jit(step)
             self._step_fn = fn
@@ -777,6 +892,29 @@ class ChainedDriver(ResidentDriver):
             B_l = np.zeros_like(A_l)
             B_o = np.zeros_like(A_o)
             B_ol = np.zeros_like(A_ol)
+        if self.depth >= 3:
+            if self.prev_cands2 is not None:
+                # candidates of frame t-2: corres live in t-1, roll one
+                # flow plane forward to sample this frame's planes
+                flow_prev = self.planes[f_id - 1][1]
+                p2_s, p2_l, p2_o, p2_ol = self.prev_cands2
+                B2_s = _sample_point_rows(
+                    depth_pre, flow_np, mask_rec,
+                    _rolled_positions(p2_s[3], flow_prev, 2))
+                B2_l = _sample_line_rows(
+                    depth_pre, flow_np, mask_rec,
+                    _rolled_positions(p2_l[3], flow_prev, 4))
+                B2_o = _sample_point_rows(
+                    depth_pre, flow_np, mask_rec,
+                    _rolled_positions(p2_o[3], flow_prev, 2))
+                B2_ol = _sample_oline_rows(
+                    depth_pre, flow_np, mask_rec,
+                    _rolled_positions(p2_ol[3], flow_prev, 4))
+            else:
+                B2_s = np.zeros_like(A_s)
+                B2_l = np.zeros_like(A_l)
+                B2_o = np.zeros_like(A_o)
+                B2_ol = np.zeros_like(A_ol)
         _mark("families")
 
         # ---- detector outputs for THIS frame ----
@@ -803,6 +941,8 @@ class ChainedDriver(ResidentDriver):
         parts = dict(
             A_s=A_s, A_l=A_l, A_o=A_o, A_ol=A_ol,
             B_s=B_s, B_l=B_l, B_o=B_o, B_ol=B_ol,
+            **(dict(B2_s=B2_s, B2_l=B2_l, B2_o=B2_o, B2_ol=B2_ol)
+               if self.depth >= 3 else {}),
             c_s_uv=stat_tmp[0], c_s_d=stat_tmp[1], c_s_f=stat_tmp[2],
             c_s_c=stat_tmp[3], c_s_v=stat_tmp[4].astype(np.float32),
             c_l_uv=line_tmp[0], c_l_d=line_tmp[1], c_l_f=line_tmp[2],
@@ -819,19 +959,28 @@ class ChainedDriver(ResidentDriver):
         )
         buf = np.concatenate([
             np.ravel(parts[name]).astype(np.float32)
-            for name, _ in bundle_spec(self.caps)
+            for name, _ in bundle_spec(self.caps, self.depth)
         ])
+        self.prev_cands2 = self.prev_cands
         self.prev_cands = (stat_tmp, line_tmp, obj_tmp, oline_tmp)
         self.last_bundle = buf     # kept for bench.py's device-exec probe
         _mark("families_pack")
 
         fn = self._chained_fn()
         t0 = _time.perf_counter()
-        state, out = fn(
-            self.state, jnp.asarray(buf),
-            gt_sem_table(self._prev_gt[0]), gt_sem_table(gt_objs),
-            jax.random.PRNGKey(f_id),
-        )
+        if self.depth >= 3:
+            state, prov, out = fn(
+                self.state, self.prov, jnp.asarray(buf),
+                gt_sem_table(self._prev_gt[0]), gt_sem_table(gt_objs),
+                jax.random.PRNGKey(f_id),
+            )
+            self.prov = prov
+        else:
+            state, out = fn(
+                self.state, jnp.asarray(buf),
+                gt_sem_table(self._prev_gt[0]), gt_sem_table(gt_objs),
+                jax.random.PRNGKey(f_id),
+            )
         self.state = state
         timing[1] = (_time.perf_counter() - t0) * 1e3
         _mark("dispatch_step")
@@ -839,9 +988,14 @@ class ChainedDriver(ResidentDriver):
         out.copy_to_host_async()
         holder = {"np": None, "err": None}
 
-        def _pull(out=out, holder=holder):
+        def _pull(out=out, holder=holder, perf=perf):
             try:
+                holder["t0"] = _time.perf_counter()
+                if perf is not None:
+                    out.block_until_ready()
+                    holder["t_exec"] = _time.perf_counter()
                 holder["np"] = np.array(out)
+                holder["t1"] = _time.perf_counter()
             except Exception as e:
                 holder["err"] = e
 

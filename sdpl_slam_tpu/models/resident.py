@@ -1731,8 +1731,31 @@ class ResidentDriver:
         self._last_pose = pose_np
 
     def _drain_one(self):
+        import time as _time
+
         p = self.pending.popleft()
+        t0 = _time.perf_counter()
         p["th"].join()
+        perf = getattr(self, "perf", None)
+        if perf is not None:
+            now = _time.perf_counter()
+            h = p["holder"]
+            perf.setdefault("drain_join", []).append((now - t0) * 1e3)
+            if "t1" in h:
+                perf.setdefault("pull_dur", []).append(
+                    (h["t1"] - h["t0"]) * 1e3
+                )
+                if "t_exec" in h:
+                    perf.setdefault("pull_exec", []).append(
+                        (h["t_exec"] - h["t0"]) * 1e3
+                    )
+                    perf.setdefault("pull_xfer", []).append(
+                        (h["t1"] - h["t_exec"]) * 1e3
+                    )
+                # negative = the pull landed before the drain asked
+                perf.setdefault("pull_slack", []).append(
+                    (h["t1"] - t0) * 1e3
+                )
         if p["holder"]["err"] is not None:
             raise p["holder"]["err"]
         o = unpack_out(p["holder"]["np"], self.caps)

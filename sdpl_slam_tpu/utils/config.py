@@ -133,6 +133,18 @@ class Settings:
     # (documented in models/chained.py); accuracy is gated by
     # tests/test_chained.py on the synthetic oracle.
     chained_tracking: bool = False
+    # chained software-pipeline depth (frames in flight + 1).  Depth 3
+    # carries a 2-deep composed provenance and a second candidate
+    # sample family (models/chained.py) so the base generation can lag
+    # one more frame.  Measured on the tunneled TPU (round 5): the
+    # frame period did NOT improve (43.1 vs 43.7 ms) -- the tunnel
+    # stream is throughput-saturated (~820 KB wire + ~20 ms exec per
+    # frame serialize at ~43 ms), so extra pipeline depth only hides
+    # latency that is not the binding constraint there.  Kept for
+    # transports where dispatch->result latency, not stream
+    # throughput, dominates (accuracy-neutral: tests/test_chained.py
+    # depth-3 gates).
+    chained_depth: int = 2
     # resident-mode input compression: push f16 depth/flow + u8 mask
     # (~3.3 MB/frame vs ~8 MB dense f32/i32).  Lossy at ~1e-3 relative
     # (below sensor/flow noise); parity-gated by

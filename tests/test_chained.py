@@ -84,6 +84,58 @@ def test_chained_tracks_object_motion(chained_runs):
     assert r_err < 0.5, r_err
 
 
+@pytest.fixture(scope="module")
+def chained3_run(chained_runs):
+    # depth-3 pipeline: one more frame in flight, 2-deep composed
+    # provenance + the B2 sample family (models/chained.py)
+    cfg = SynthConfig(n_frames=9, n_objects=1, width=320, height=192,
+                      noise_flow=0.15)
+    seq = SynthSequence(cfg)
+    s = synth_settings(cfg)
+    s.run_local_ba = False
+    s.run_global_ba = False
+    s.chained_tracking = True
+    s.chained_depth = 3
+    return _run(seq, s, 8)
+
+
+def test_chained_depth3_tracks_accurately(chained3_run):
+    t_err, r_err = metrics.camera_rpe(
+        chained3_run.map.camera_poses, chained3_run.map.camera_poses_gt
+    )
+    assert t_err < 0.02, t_err
+    assert r_err < 0.2, r_err
+
+
+def test_chained_depth3_close_to_host_path(chained_runs, chained3_run):
+    host, _, _ = chained_runs
+    # one extra frame of shadow-roll staleness than depth 2: the same
+    # sub-pixel sampling approximation accumulates over 3 frames
+    # instead of 2, so the absolute-pose gate gets proportionate
+    # headroom (observed max ~0.0204 m on this 0.15 px-noise scene vs
+    # depth 2's ~0.02 gate; per-frame RPE is depth-independent --
+    # test_chained_depth3_tracks_accurately keeps the same gate)
+    for ph, pc in zip(host.map.camera_poses,
+                      chained3_run.map.camera_poses):
+        dt = np.linalg.norm(ph[:3, 3] - pc[:3, 3])
+        dr = np.degrees(np.arccos(np.clip(
+            (np.trace(ph[:3, :3].T @ pc[:3, :3]) - 1) / 2, -1, 1)))
+        assert dt < 0.03, (dt, dr)
+        assert dr < 0.3, (dt, dr)
+
+
+def test_chained_depth3_tracks_object_motion(chained3_run):
+    m = chained3_run.map
+    n_with_obj = sum(1 for mm in m.rigid_motions if len(mm) > 1)
+    assert n_with_obj >= 4, n_with_obj
+    t_err, r_err, _ = metrics.object_motion_error(
+        m.rigid_motions, m.obj_pose_pre, m.rigid_motions_gt,
+        m.obj_stat, m.rm_labels,
+    )
+    assert t_err < 0.05, t_err
+    assert r_err < 0.5, r_err
+
+
 def test_chained_checkpointable_state(chained_runs):
     _, chained, _ = chained_runs
     # after the run the tracker host state is authoritative (driver
