@@ -636,7 +636,7 @@ def full_batch_optimization(map_state, K: Intrinsics, cfg=None,
 _LAST_FUSED_ITERS = [0]     # instrumentation: LM iterations of the last call
 
 
-def _run_fused(graph, w, cfg, n_frames, max_iters, gain):
+def _run_fused(graph, w, cfg, n_frames, max_iters, gain, cg_iters=40):
     """Fused LM; dense-Schur exact steps when the reduced (pose+motion)
     system fits MAX_DENSE_DOF, matrix-free CG otherwise."""
     from . import schur_ba
@@ -674,7 +674,7 @@ def _run_fused(graph, w, cfg, n_frames, max_iters, gain):
     else:
         state, cost, it = bb.run_ba_fused(
             graph, w, max_iters=max_iters, gain_threshold=gain,
-            reduce_dtype=_ba_reduce_dtype(cfg),
+            cg_iters=cg_iters, reduce_dtype=_ba_reduce_dtype(cfg),
         )
         _LAST_FUSED_ITERS[0] = int(it)
     return state, float(cost)
@@ -723,6 +723,7 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
     # batch's 1e-4 (Optimizer.cc:1410 vs :4004)
     gain = (getattr(cfg, "ba_gain_threshold_partial", 1e-3)
             if cfg else 1e-3)
+    cg_iters = (getattr(cfg, "ba_local_cg_iters", 40) if cfg else 40)
     fused = cfg.ba_fused if cfg else True
     import os as _os
     import time as _time
@@ -742,11 +743,12 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
             graph = _cast_graph(graph, dtype)
             if fused:
                 state, cost = _run_fused(graph, w, cfg, f1 - f0,
-                                         max_iters, gain)
+                                         max_iters, gain,
+                                         cg_iters=cg_iters)
             else:
                 state, cost = bb.run_ba(
                     graph, w, max_iters=max_iters, gain_threshold=gain,
-                    verbose=verbose, reduce_dtype=rd,
+                    cg_iters=cg_iters, verbose=verbose, reduce_dtype=rd,
                 )
     t2 = _time.perf_counter()
     _write_back(map_state, state, meta, refined=False)
@@ -827,7 +829,10 @@ def precompile_partial(map_state, K: Intrinsics, cfg,
         # dummy call must present arguments the same way the trigger
         # will
         graph = _cast_graph(graph, jnp.float32)
-        state, _ = _run_fused(graph, w, cfg, window, max_iters, gain)
+        state, _ = _run_fused(
+            graph, w, cfg, window, max_iters, gain,
+            cg_iters=getattr(cfg, "ba_local_cg_iters", 40),
+        )
         _pull_state_packed(state)      # pre-warm the write-back pull too
     return True
 
@@ -984,6 +989,7 @@ def precompile_partial_from_floors(map_state, cfg, floors,
         state, _ = _run_fused(
             graph, w, cfg, window, cfg.ba_local_iterations,
             getattr(cfg, "ba_gain_threshold_partial", 1e-3),
+            cg_iters=getattr(cfg, "ba_local_cg_iters", 40),
         )
         _pull_state_packed(state)      # pre-warm the write-back pull too
     return True

@@ -194,6 +194,14 @@ class Settings:
     # (setGainThreshold(1e-3), Optimizer.cc:1410-1411) -- round 4/5 ran
     # both at 1e-4, which is why warm windows burned ~32 LM iterations
     ba_gain_threshold_partial: float = 1e-3
+    # CG budget per LM iteration for the PARTIAL (window) BA.  The
+    # window's damped normal equations only need an inexact-Newton
+    # solve (the rtol exit in batch_ba._pcg governs quality); the
+    # on-chip cost model is ~64 ms + 0.95 ms/CG-iteration per LM
+    # iteration at the bench window (71k edges), so the CG cap is a
+    # first-order lever on the warm-window wall.  Measured with
+    # examples/tune_lba.py; the full batch keeps 40.
+    ba_local_cg_iters: int = 40
     # fused BA: run the whole LM outer loop (linearize -> CG -> retract ->
     # accept/reject) as ONE device program (batch_ba.run_ba_fused) instead
     # of ~13 dispatches per iteration.  On the tunneled TPU this turns a

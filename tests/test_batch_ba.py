@@ -350,3 +350,47 @@ def test_fused_lm_matches_split_path(tracked_map):
     np.testing.assert_allclose(
         np.asarray(s2.cam_T), np.asarray(s1.cam_T), atol=5e-2
     )
+
+
+def test_reduced_cg_budget_matches_full(tracked_map):
+    """The partial window's inexact-Newton budget (ba_local_cg_iters):
+    LM with a 10-iteration CG cap must land in the same cost basin as
+    the 40-iteration default (the on-chip sweep examples/tune_lba.py
+    adopts the production value from measured trajectory deltas; this
+    gates the mechanism itself cross-platform)."""
+    sys = tracked_map
+    import copy
+
+    from sdpl_slam_tpu.solvers import batch_ba as bb
+
+    m = copy.deepcopy(sys.map)
+    graph, _ = ba_builder.build_graph(
+        m, sys.tracker.K, 0, m.n_frames,
+        motion_init_identity=True, prior_info=1e5, use_lines=True,
+    )
+    w = ba_builder._weights_from_cfg(sys.settings)
+    s40, c40, it40 = bb.run_ba_fused(graph, w, max_iters=12, cg_iters=40)
+    s10, c10, it10 = bb.run_ba_fused(graph, w, max_iters=12, cg_iters=10)
+    assert int(it10) >= 1 and np.isfinite(float(c10))
+    assert abs(float(c10) - float(c40)) <= 2e-2 * max(float(c40), 1.0), (
+        float(c40), float(c10))
+    np.testing.assert_allclose(
+        np.asarray(s10.cam_T), np.asarray(s40.cam_T), atol=5e-2
+    )
+
+
+def test_partial_ba_respects_local_cg_budget(tracked_map):
+    """cfg.ba_local_cg_iters threads through the production partial
+    entry (trigger + write-back still correct at the reduced budget)."""
+    sys = tracked_map
+    import copy
+
+    m = copy.deepcopy(sys.map)
+    cfg = copy.deepcopy(sys.settings)
+    cfg.ba_local_cg_iters = 10
+    cost = ba_builder.partial_batch_optimization(
+        m, sys.tracker.K, window=5, cfg=cfg
+    )
+    assert np.isfinite(cost)
+    t1, r1 = metrics.camera_rpe(m.camera_poses, m.camera_poses_gt)
+    assert t1 < 0.02, t1
