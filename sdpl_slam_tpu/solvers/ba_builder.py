@@ -62,11 +62,25 @@ class _ratchet:
 
 
 def _bucket(n: int, minimum: int = 8, site=None) -> int:
-    """Pow2 bucket with ratchet floors.  ``site`` gives the call an
-    explicit store key; without it the key is the per-context call
-    index (build_graph's 13 fixed-order calls)."""
+    """Quarter-pow2 bucket with ratchet floors.  ``site`` gives the call
+    an explicit store key; without it the key is the per-context call
+    index (build_graph's 13 fixed-order calls).
+
+    Plain pow2 buckets padded the window-20 production graph 1.36x
+    (sp 32768/19944 valid, tern 32768/22762 ...), and per-LM-iteration
+    solve cost scales with PADDED edge rows.  Quarter steps between
+    powers of two (p/2 * {1.25, 1.5, 1.75, 2}) bound the waste at 25%
+    while staying coarse enough that the ratchet still converges to one
+    stable shape set (= one fused-LM compile) within a window or two."""
     m = max(n, minimum)
-    b = 1 << (m - 1).bit_length()
+    p = 1 << (m - 1).bit_length()
+    b = p
+    if p >= 128:                       # small shapes stay plain pow2
+        h = p >> 1
+        for q in (h + (h >> 2), h + (h >> 1), h + (h >> 1) + (h >> 2)):
+            if q >= m:
+                b = q
+                break
     ctx = getattr(_RATCHET_TLS, "ctx", None)
     if ctx is not None:
         if site is None:
@@ -555,10 +569,13 @@ def _cast_graph(graph, dtype):
     double throughout).  Integer/bool index arrays are untouched."""
     import numpy as _np
 
+    # dtype checks must stay on host: jnp.asarray(host_array) initiates a
+    # full H2D transfer (discarded here), doubling the graph bytes pushed
+    # over the link before the solve dispatch transfers the cast copy
     return type(graph)(*[
-        _np.asarray(v).astype(dtype)
+        _np.asarray(v).astype(dtype, copy=False)
         if hasattr(v, "dtype")
-        and jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)
+        and _np.issubdtype(_np.asarray(v).dtype, _np.floating)
         else v
         for v in graph
     ])
@@ -738,9 +755,23 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
             use_lines=use_lines,
         )
         t1 = _time.perf_counter()
+        t_drain = t_push = 0.0
+        if perf:
+            # split the solve wall: in-flight tracking work queued ahead
+            # of the window (drain), the graph push, and the solve proper
+            jnp.zeros(()).block_until_ready()
+            t_drain = _time.perf_counter() - t1
         rd = _ba_reduce_dtype(cfg)
         with _x64_scope(dtype == jnp.float64 or rd is not None):
             graph = _cast_graph(graph, dtype)
+            if perf:
+                import jax as _jax
+                tp0 = _time.perf_counter()
+                # one batched pytree push + one sync: per-field blocking
+                # costs a ~30 ms round-trip EACH over the tunnel and
+                # inflated this probe ~20x (2.3 MB of real bytes)
+                graph = _jax.block_until_ready(_jax.device_put(graph))
+                t_push = _time.perf_counter() - tp0
             if fused:
                 state, cost = _run_fused(graph, w, cfg, f1 - f0,
                                          max_iters, gain,
@@ -753,9 +784,11 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
     t2 = _time.perf_counter()
     _write_back(map_state, state, meta, refined=False)
     if perf:
-        print("[ba-perf] window %d-%d: build %.0f ms, solve %.0f ms "
-              "(%d LM iters), write-back %.0f ms" %
-              (f0, f1, (t1 - t0) * 1e3, (t2 - t1) * 1e3,
+        print("[ba-perf] window %d-%d: build %.0f ms, drain %.0f ms, "
+              "push %.0f ms, solve %.0f ms (%d LM iters), "
+              "write-back %.0f ms" %
+              (f0, f1, (t1 - t0) * 1e3, t_drain * 1e3, t_push * 1e3,
+               (t2 - t1) * 1e3 - t_drain * 1e3 - t_push * 1e3,
                _LAST_FUSED_ITERS[0] if fused else -1,
                (_time.perf_counter() - t2) * 1e3), flush=True)
     # refined trajectory starts from the locally-refined primary one
