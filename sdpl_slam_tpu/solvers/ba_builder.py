@@ -782,15 +782,26 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
                     cg_iters=cg_iters, verbose=verbose, reduce_dtype=rd,
                 )
     t2 = _time.perf_counter()
+    t_solve2 = -1.0
+    if perf == "2" and fused:
+        # repeat the identical warm solve: separates program exec cost
+        # from queue/contention effects in the surrounding frame loop
+        ts = _time.perf_counter()
+        with _ratchet(store):
+            _run_fused(graph, w, cfg, f1 - f0, max_iters, gain,
+                       cg_iters=cg_iters)
+        t_solve2 = _time.perf_counter() - ts
     _write_back(map_state, state, meta, refined=False)
     if perf:
         print("[ba-perf] window %d-%d: build %.0f ms, drain %.0f ms, "
               "push %.0f ms, solve %.0f ms (%d LM iters), "
-              "write-back %.0f ms" %
+              "solve2 %.0f ms, write-back %.0f ms" %
               (f0, f1, (t1 - t0) * 1e3, t_drain * 1e3, t_push * 1e3,
                (t2 - t1) * 1e3 - t_drain * 1e3 - t_push * 1e3,
                _LAST_FUSED_ITERS[0] if fused else -1,
-               (_time.perf_counter() - t2) * 1e3), flush=True)
+               t_solve2 * 1e3,
+               (_time.perf_counter() - t2) * 1e3 - max(t_solve2, 0)
+               * 1e3), flush=True)
     # refined trajectory starts from the locally-refined primary one
     for i in range(f0, f1):
         map_state.camera_poses_rf[i] = map_state.camera_poses[i].copy()
