@@ -734,6 +734,17 @@ def partial_batch_optimization(map_state, K: Intrinsics, window: int,
     # the ratchet covers _run_fused too (its chain-count buckets used to
     # drift between windows, recompiling the schur program)
     store = _ratchet_store(map_state)
+    if not store and cfg is not None:
+        # prime the bucket ratchet from persisted floors synchronously:
+        # the first real window then builds at the steady-state shapes a
+        # previous run of this configuration observed, so every later
+        # window of THIS run reuses its program (and, via the persistent
+        # compile cache, the first window may skip the compile entirely)
+        # even when the async precompile didn't run
+        floors = load_persisted_floors(cfg, use_lines=use_lines)
+        if floors:
+            for k, v in floors.items():
+                store[k] = max(store.get(k, 0), int(v))
     dtype = _ba_dtype(cfg)
     max_iters = cfg.ba_local_iterations if cfg else 100
     # the reference's PARTIAL BA terminates at gain 1e-3, not the full
@@ -902,12 +913,14 @@ def _floors_path():
 
 
 def _floors_key(cfg, use_lines: bool) -> str:
-    return ("w%d_o%d_l%d_bg%d_ob%d_sl%d_%dx%d_s%d_i%d_t%d" % (
+    # solver budgets (ba_local_iterations / cg) are NOT in the key:
+    # they are traced scalars of the fused program, so every budget
+    # shares the same compiled shapes (batch_ba.run_ba_fused)
+    return ("w%d_o%d_l%d_bg%d_ob%d_sl%d_%dx%d_s%d_t%d" % (
         cfg.window_size, cfg.overlap_size, int(bool(use_lines)),
         cfg.max_track_point_bg, cfg.max_track_point_obj,
         cfg.max_static_lines, cfg.width, cfg.height,
-        int(bool(cfg.ba_schur)), cfg.ba_local_iterations,
-        cfg.ba_tracklet_min_len,
+        int(bool(cfg.ba_schur)), cfg.ba_tracklet_min_len,
     ))
 
 
@@ -1073,6 +1086,12 @@ def maybe_precompile_partial_async(map_state, K: Intrinsics, cfg,
     flips global jax config and must not run concurrently with the
     frame programs)."""
     if not (cfg and cfg.run_local_ba and cfg.ba_fused):
+        return None
+    import os as _os
+    if _os.environ.get("SDPL_BA_PRECOMPILE") == "0":
+        # kill-switch: the background compile shares one tunnel client
+        # with the frame-program compiles; a concurrent remote compile
+        # has been observed to wedge both threads on a degraded link
         return None
     if _ba_dtype(cfg) != jnp.float32:
         return None

@@ -522,7 +522,7 @@ def _linearize_edge(graph: BAGraph, state: BAState, w: BAWeights, idx: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("w", "cg_iters", "reduce_dtype")
+    jax.jit, static_argnames=("w", "reduce_dtype")
 )
 def _solve_normal_eq(graph: BAGraph, state: BAState, w: BAWeights,
                      lin_flat, prior, lam, cg_iters: int,
@@ -673,9 +673,12 @@ def ba_gn_step(graph: BAGraph, state: BAState, w: BAWeights,
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "w", "max_iters", "cg_iters", "gain_threshold", "reduce_dtype"
-    ),
+    # the solver BUDGETS (max_iters / cg_iters / gain_threshold) are
+    # TRACED scalars, not static args: both loops are lax.while_loops
+    # whose conds read them as operands, so one compiled program serves
+    # every budget — a budget sweep (examples/tune_lba.py) or a config
+    # change never pays the ~40 s remote fused-program compile again
+    static_argnames=("w", "reduce_dtype"),
 )
 def run_ba_fused(graph: BAGraph, w: BAWeights, max_iters: int = 20,
                  cg_iters: int = 40, gain_threshold: float = 1e-4,

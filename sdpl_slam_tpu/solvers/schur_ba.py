@@ -366,7 +366,9 @@ def dense_schur_step(graph: bb.BAGraph, state: bb.BAState, w: bb.BAWeights,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("w", "max_iters", "gain_threshold", "F", "M"),
+    # budgets are traced scalars (one program per shape set, every
+    # budget) — see batch_ba.run_ba_fused
+    static_argnames=("w", "F", "M"),
 )
 def run_ba_fused_schur(graph: bb.BAGraph, w: bb.BAWeights,
                        xd_chain, ld_chain, F: int, M: int,
